@@ -1,0 +1,237 @@
+"""Jitted training/eval engine (L5) — the reference's epoch loop, TPU-native.
+
+The reference train loop (/root/reference/Unet.py:243-322) is: Adam(1e-4),
+CE(ignore_index=255), per-step host-side metrics, epoch validation, and
+best-val-mIoU ``torch.save``. Here the *whole step* (forward, loss, backward,
+Adam update, BatchNorm running-stat update, confusion counts) is one
+XLA-compiled ``train_step(state, batch)``; the host only sees scalar counts.
+Metrics follow the reference's batch-size-weighted averaging
+(``Config.metrics_mode='batch_mean'``) or the corrected global-confusion
+mode. Checkpointing goes through Orbax (``insarseg.train.checkpoint``) —
+best-by-val-mIoU params *and* latest-with-optimizer-state for resume, which
+the reference lacks (save-only, no ``load_state_dict`` anywhere —
+SURVEY.md §5).
+
+Multi-chip: pass ``mesh``/shardings from ``insarseg.parallel`` — the step is
+written mesh-agnostic (no pmaps, no axis names); GSPMD handles gradient
+all-reduce and sync-BN from the batch sharding alone.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from insarseg.train import metrics as M
+from insarseg.train.losses import cross_entropy_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def create_state(
+    model,
+    rng: jax.Array,
+    sample_input: jnp.ndarray,
+    learning_rate: float = 1e-4,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    """Initialize params/batch_stats and Adam (torch defaults: b1=.9, b2=.999,
+    eps=1e-8 — matching optim.Adam at /root/reference/Unet.py:369)."""
+    init_rng, drop_rng = jax.random.split(rng)
+    variables = model.init({"params": init_rng, "dropout": drop_rng}, sample_input)
+    tx = tx or optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model, num_classes: int, ignore_index: int = 255
+) -> Callable:
+    """Build the jitted train step: (state, image, mask, rng) ->
+    (state, {loss, counts...})."""
+
+    def step(state: TrainState, image, mask, rng):
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            logits, mutated = out
+            loss = cross_entropy_loss(logits, mask, ignore_index)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
+        return new_state, {"loss": loss, **counts}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, num_classes: int, ignore_index: int = 255) -> Callable:
+    def step(params, batch_stats, image, mask):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        )
+        loss = cross_entropy_loss(logits, mask, ignore_index)
+        counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
+        return {"loss": loss, **counts}
+
+    return jax.jit(step)
+
+
+class _Averager:
+    """Reference-parity metric averaging: per-batch metrics weighted by real
+    batch size (SURVEY.md §2.2.20); or global-confusion accumulation."""
+
+    def __init__(self, version: int, mode: str):
+        self.version = version
+        self.mode = mode
+        self.loss_sum = 0.0
+        self.n = 0
+        self.metric_sums: Dict[str, float] = {}
+        self.global_counts = None
+
+    def update(self, out: Dict[str, jnp.ndarray], n_valid: int):
+        self.loss_sum += float(out["loss"]) * n_valid
+        self.n += n_valid
+        counts = {k: out[k] for k in ("tp", "fp", "fn", "correct", "valid")}
+        if self.mode == "batch_mean":
+            m = M.compute(counts, self.version)
+            for k, v in m.items():
+                self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v) * n_valid
+        else:
+            counts = jax.tree.map(lambda a: jnp.asarray(a), counts)
+            self.global_counts = (
+                counts
+                if self.global_counts is None
+                else M.merge_counts(self.global_counts, counts)
+            )
+
+    def result(self, prefix: str) -> Dict[str, float]:
+        n = max(self.n, 1)
+        res = {f"{prefix}_loss": self.loss_sum / n}
+        if self.mode == "batch_mean":
+            for k, v in self.metric_sums.items():
+                res[f"{prefix}_{k}"] = v / n
+        else:
+            m = M.compute(self.global_counts, self.version)
+            for k, v in m.items():
+                res[f"{prefix}_{k}"] = float(v)
+        return res
+
+
+def evaluate(
+    eval_step, params, batch_stats, loader, version: int = 2,
+    mode: str = "batch_mean", prefix: str = "val", verbose: bool = True,
+) -> Dict[str, float]:
+    avg = _Averager(version, mode)
+    for batch in loader:
+        out = eval_step(params, batch_stats, batch["image"], batch["mask"])
+        avg.update(out, batch["n_valid"])
+    res = avg.result(prefix)
+    if verbose:
+        keys = ", ".join(f"{k}={v:.4f}" for k, v in res.items())
+        print(f"--- validation: {keys} ---")
+    return res
+
+
+def fit(
+    model,
+    cfg,
+    train_loader,
+    val_loader=None,
+    rng: Optional[jax.Array] = None,
+    state: Optional[TrainState] = None,
+    checkpointer=None,
+    verbose: bool = True,
+) -> List[Dict[str, Any]]:
+    """Full training run. Returns the history list with the reference's JSON
+    key contract: epoch, train_loss/acc/miou(/mpa/mf1), val_* (SURVEY.md §5).
+    """
+    rng = jax.random.key(cfg.seed) if rng is None else rng
+    first = next(iter(train_loader))
+    if state is None:
+        rng, init_rng = jax.random.split(rng)
+        state = create_state(
+            model, init_rng, jnp.asarray(first["image"]), cfg.learning_rate
+        )
+    train_step = make_train_step(model, cfg.num_classes, cfg.ignore_index)
+    eval_step = make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+
+    best_miou = -1.0
+    history: List[Dict[str, Any]] = []
+    t_start = time.time()
+
+    for epoch in range(cfg.num_epochs):
+        avg = _Averager(cfg.metrics_version, cfg.metrics_mode)
+        for i, batch in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            state, out = train_step(
+                state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+                step_rng,
+            )
+            avg.update(out, batch["n_valid"])
+            if verbose and (i + 1) % cfg.log_every_steps == 0:
+                print(
+                    f"epoch [{epoch + 1}/{cfg.num_epochs}] step [{i + 1}] "
+                    f"loss {float(out['loss']):.4f}"
+                )
+        epoch_metrics = {"epoch": epoch + 1, **avg.result("train")}
+        if verbose:
+            keys = ", ".join(
+                f"{k}={v:.4f}" for k, v in epoch_metrics.items() if k != "epoch"
+            )
+            print(f"=== epoch {epoch + 1}/{cfg.num_epochs}: {keys} ===")
+
+        if val_loader is not None:
+            val_metrics = evaluate(
+                eval_step, state.params, state.batch_stats, val_loader,
+                cfg.metrics_version, cfg.metrics_mode, verbose=verbose,
+            )
+            epoch_metrics.update(val_metrics)
+            cur = val_metrics.get("val_miou", 0.0)
+            if cur > best_miou:
+                best_miou = cur
+                if checkpointer is not None:
+                    checkpointer.save_best(state, best_miou)
+                if verbose:
+                    print(f"*** val mIoU improved to {best_miou:.4f} ***")
+        if checkpointer is not None:
+            checkpointer.save_latest(state)
+        history.append(epoch_metrics)
+
+    if verbose:
+        print(f"training done in {(time.time() - t_start) / 60:.2f} min")
+    return history

@@ -1,0 +1,34 @@
+"""Losses.
+
+The entire reference trains with ``nn.CrossEntropyLoss(ignore_index=255)``
+(/root/reference/Unet.py:368, DeepLabV3.py:370, PSPNet-ChannelAttention.py:469)
+— softmax cross-entropy over pixels, mean over non-ignored pixels. This is
+that, NHWC, fully on-device and differentiable under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Mean softmax cross-entropy over valid pixels.
+
+    Args:
+      logits: (B, H, W, C) float.
+      labels: (B, H, W) integer class ids; ``ignore_index`` pixels contribute
+        nothing (torch semantics; an all-ignored batch returns 0 rather than
+        torch's NaN).
+    """
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    num = jnp.sum(jnp.where(valid, -ll, 0.0))
+    den = jnp.maximum(jnp.sum(valid), 1)
+    return num / den

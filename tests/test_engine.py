@@ -1,0 +1,100 @@
+"""End-to-end engine test: train tiny UNet on synthetic VOC, checkpoint,
+resume, history contract (the minimum E2E slice of SURVEY.md §7 step 2)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insarseg.config import get_preset
+from insarseg.data.synthetic import make_synthetic_voc
+from insarseg.data.voc import BatchLoader, VOCSegDataset
+from insarseg.models.unet import UNet
+from insarseg.train import engine
+from insarseg.train.checkpoint import Checkpointer
+from insarseg.utils.history import save_history, load_history
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    make_synthetic_voc(str(root), n_train=8, n_val=4, size=16)
+    cfg = get_preset(
+        "unet", voc_root=str(root), image_size=16, batch_size=4, num_epochs=2,
+        learning_rate=1e-2,
+    )
+    train_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "train")
+    val_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "val")
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True, seed=0)
+    val_loader = BatchLoader(val_ds, cfg.batch_size)
+    model = UNet(num_classes=cfg.num_classes, base_features=4)
+    return cfg, model, train_loader, val_loader
+
+
+def test_fit_end_to_end(setup, tmp_path):
+    cfg, model, train_loader, val_loader = setup
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    history = engine.fit(
+        model, cfg, train_loader, val_loader, checkpointer=ckpt, verbose=False
+    )
+    assert len(history) == cfg.num_epochs
+    # reference JSON key contract (metrics v1 preset: acc + miou)
+    h0 = history[0]
+    for key in ("epoch", "train_loss", "train_acc", "train_miou",
+                "val_loss", "val_acc", "val_miou"):
+        assert key in h0, key
+    assert h0["epoch"] == 1
+    # training reduces loss on this easy synthetic task
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.5
+    # checkpoints exist
+    assert os.path.isdir(ckpt.best_path)
+    assert ckpt.has_latest()
+
+    # history JSON round-trip
+    p = str(tmp_path / "hist.json")
+    save_history(history, p)
+    loaded = load_history(p)
+    assert loaded[0]["epoch"] == 1
+    assert all(isinstance(v, (int, float)) for v in loaded[0].values())
+
+
+def test_checkpoint_resume(setup, tmp_path):
+    cfg, model, train_loader, _ = setup
+    ckpt = Checkpointer(str(tmp_path / "ckpt2"))
+    first = next(iter(train_loader))
+    state = engine.create_state(
+        model, jax.random.key(0), jnp.asarray(first["image"]), cfg.learning_rate
+    )
+    train_step = engine.make_train_step(model, cfg.num_classes, cfg.ignore_index)
+    state, _ = train_step(
+        state, jnp.asarray(first["image"]), jnp.asarray(first["mask"]),
+        jax.random.key(1),
+    )
+    ckpt.save_latest(state)
+
+    fresh = engine.create_state(
+        model, jax.random.key(9), jnp.asarray(first["image"]), cfg.learning_rate
+    )
+    restored = ckpt.restore_latest(fresh)
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_eval_deterministic(setup):
+    cfg, model, train_loader, val_loader = setup
+    first = next(iter(train_loader))
+    state = engine.create_state(
+        model, jax.random.key(0), jnp.asarray(first["image"]), cfg.learning_rate
+    )
+    eval_step = engine.make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+    r1 = engine.evaluate(eval_step, state.params, state.batch_stats, val_loader,
+                         verbose=False)
+    r2 = engine.evaluate(eval_step, state.params, state.batch_stats, val_loader,
+                         verbose=False)
+    assert r1 == r2
