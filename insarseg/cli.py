@@ -1,0 +1,199 @@
+"""CLI entry points (L7): train / eval / predict.
+
+The reference has no CLI at all — users edit module-level constants marked
+``TODO 【重要】`` and run each script (/root/reference/Unet.py:17,29;
+SURVEY.md §2.2.25). Here: ``python -m insarseg.cli train --preset
+unet-channelattention --voc-root ... [--override ...]`` with every Config
+field overridable, plus torch-checkpoint import for parity workflows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _add_config_overrides(p: argparse.ArgumentParser) -> None:
+    from insarseg.config import Config
+
+    for f in dataclasses.fields(Config):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        else:
+            p.add_argument(flag, type=type(f.default), default=None)
+
+
+def _build_cfg(args):
+    from insarseg.config import Config, get_preset
+
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = v
+    if args.preset:
+        return get_preset(args.preset, **overrides)
+    return Config(**overrides)
+
+
+def cmd_train(args) -> int:
+    from insarseg.data.voc import BatchLoader, VOCSegDataset
+    from insarseg.models.registry import build_model
+    from insarseg.train import engine
+    from insarseg.train.checkpoint import Checkpointer
+    from insarseg.utils.history import save_history
+
+    cfg = _build_cfg(args)
+    if not os.path.isdir(os.path.join(cfg.voc_root, "JPEGImages")):
+        print(f"error: dataset not found under {cfg.voc_root!r} "
+              "(expected VOC layout with JPEGImages/)", file=sys.stderr)
+        return 2
+
+    kw = dict(
+        mask_contract=cfg.mask_contract, normalize_mean=cfg.normalize_mean,
+        normalize_std=cfg.normalize_std, ignore_index=cfg.ignore_index,
+    )
+    train_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "train", **kw)
+    val_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "val", **kw)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed, ignore_index=cfg.ignore_index,
+                               num_workers=args.num_workers)
+    val_loader = BatchLoader(val_ds, cfg.batch_size,
+                             ignore_index=cfg.ignore_index,
+                             num_workers=args.num_workers)
+    model = build_model(cfg)
+    ckpt = Checkpointer(os.path.dirname(cfg.model_save_path) or ".")
+    history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt)
+    save_history(history, cfg.metrics_save_path)
+    print(f"history saved to {cfg.metrics_save_path}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from insarseg.data.voc import BatchLoader, VOCSegDataset
+    from insarseg.models.registry import build_model
+    from insarseg.train import engine
+    from insarseg.train.checkpoint import Checkpointer
+
+    cfg = _build_cfg(args)
+    model = build_model(cfg)
+    ds = VOCSegDataset(cfg.voc_root, cfg.image_size, args.split,
+                       mask_contract=cfg.mask_contract,
+                       ignore_index=cfg.ignore_index)
+    loader = BatchLoader(ds, cfg.batch_size, ignore_index=cfg.ignore_index)
+
+    variables = _load_variables(args, cfg, model)
+    eval_step = engine.make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+    res = engine.evaluate(eval_step, variables["params"],
+                          variables["batch_stats"], loader,
+                          cfg.metrics_version, cfg.metrics_mode)
+    print(res)
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Full-scene sliding-window inference on one grayscale image."""
+    from PIL import Image
+
+    from insarseg.data.stitch import sliding_window_inference
+    from insarseg.models.registry import build_model
+    from insarseg.parallel import make_mesh, make_predict_fn, replicate
+
+    cfg = _build_cfg(args)
+    model = build_model(cfg)
+    img = Image.open(args.input).convert("L")
+    x = np.asarray(img, np.float32) / 255.0
+    x = (x - cfg.normalize_mean) / cfg.normalize_std
+    scene = jnp.asarray(x[..., None])
+
+    variables = _load_variables(args, cfg, model)
+    n = len(jax.devices())
+    mesh = make_mesh(data=n) if n > 1 else None
+    predict = make_predict_fn(model, mesh=mesh)
+    if mesh is not None:
+        variables = replicate(variables, mesh)
+    logits = sliding_window_inference(
+        lambda t: predict(variables, t), scene,
+        tile=args.tile, overlap=args.overlap,
+        batch_size=args.tile_batch,
+    )
+    pred = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
+    out = args.output or (os.path.splitext(args.input)[0] + "_pred.png")
+    Image.fromarray(pred * 255, "L").save(out)
+    print(f"prediction written to {out}")
+    return 0
+
+
+def _load_variables(args, cfg, model):
+    from insarseg.train.checkpoint import Checkpointer
+
+    if getattr(args, "torch_checkpoint", None):
+        from insarseg.compat.torch_io import (
+            load_torch_state_dict,
+            segmentation_variables_from_torch,
+            unet_variables_from_torch,
+        )
+
+        sd = load_torch_state_dict(args.torch_checkpoint)
+        if cfg.model == "unet":
+            return unet_variables_from_torch(
+                sd, use_se=cfg.attention == "channel",
+                use_sa=cfg.attention == "spatial",
+            )
+        return segmentation_variables_from_torch(sd, cfg.model, cfg.attention)
+    if getattr(args, "checkpoint", None):
+        ckpt = Checkpointer(args.checkpoint)
+        x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))
+        abstract = model.init(jax.random.key(0), x)
+        restored = ckpt.restore_best(
+            {
+                "params": abstract["params"],
+                "batch_stats": abstract.get("batch_stats", {}),
+                "miou": jnp.zeros(()),
+            }
+        )
+        return {"params": restored["params"],
+                "batch_stats": restored["batch_stats"]}
+    # fresh init (useful for smoke runs)
+    x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))
+    return model.init(jax.random.key(cfg.seed), x)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="insarseg")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, fn in (("train", cmd_train), ("eval", cmd_eval),
+                     ("predict", cmd_predict)):
+        p = sub.add_parser(name)
+        p.add_argument("--preset", default=None)
+        p.add_argument("--num-workers", type=int, default=0)
+        p.add_argument("--checkpoint", default=None,
+                       help="Orbax checkpoint directory")
+        p.add_argument("--torch-checkpoint", default=None,
+                       help="reference .pth state_dict to import")
+        _add_config_overrides(p)
+        if name == "eval":
+            p.add_argument("--split", default="val")
+        if name == "predict":
+            p.add_argument("--input", required=True)
+            p.add_argument("--output", default=None)
+            p.add_argument("--tile", type=int, default=512)
+            p.add_argument("--overlap", type=int, default=64)
+            p.add_argument("--tile-batch", type=int, default=None)
+        p.set_defaults(fn=fn)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

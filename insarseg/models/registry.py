@@ -1,0 +1,45 @@
+"""Model registry: build any of the reference's 9 experiment cells (plus the
+true-PSPNet extension) from a Config or by name."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from insarseg.models.deeplab import DeepLabV3
+from insarseg.models.fcn import FCN
+from insarseg.models.pspnet import PSPNet
+from insarseg.models.unet import UNet
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def build_model(cfg) -> Any:
+    """Construct the Flax module described by a ``insarseg.config.Config``."""
+    return build(cfg.model, cfg.attention, num_classes=cfg.num_classes,
+                 dtype=_DTYPES[cfg.compute_dtype])
+
+
+def build(
+    model: str,
+    attention: str = "none",
+    num_classes: int = 2,
+    dtype: Optional[Any] = None,
+):
+    model = model.lower()
+    attention = attention.lower()
+    if model == "unet":
+        return UNet(
+            num_classes=num_classes,
+            use_se=attention == "channel",
+            use_sa=attention == "spatial",
+            dtype=dtype,
+        )
+    if model == "deeplabv3":
+        return DeepLabV3(num_classes=num_classes, attention=attention, dtype=dtype)
+    if model == "fcn":
+        return FCN(num_classes=num_classes, attention=attention, dtype=dtype)
+    if model == "pspnet":
+        return PSPNet(num_classes=num_classes, attention=attention, dtype=dtype)
+    raise KeyError(f"unknown model {model!r}; expected unet|deeplabv3|fcn|pspnet")

@@ -56,6 +56,13 @@ def _promote(x: jnp.ndarray, dtype: Optional[Dtype]) -> jnp.ndarray:
     return x if dtype is None else x.astype(dtype)
 
 
+def _compute_dtype(x: jnp.ndarray, dtype: Optional[Dtype]) -> Dtype:
+    """Layer compute dtype: explicit ``dtype`` wins; otherwise follow the
+    input's dtype (so feeding bf16 activations runs the whole layer in bf16
+    with f32 params cast on the fly)."""
+    return dtype if dtype is not None else x.dtype
+
+
 class Conv2d(nn.Module):
     """2-D convolution, torch-compatible (``nn.Conv2d``), NHWC in/out.
 
@@ -69,6 +76,7 @@ class Conv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     groups: int = 1
     use_bias: bool = True
+    kernel_init: Optional[Any] = None  # default: torch kaiming_uniform(a=sqrt(5))
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -84,12 +92,13 @@ class Conv2d(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param(
             "kernel",
-            torch_uniform_init(bound),
+            self.kernel_init or torch_uniform_init(bound),
             (kh, kw, cin // self.groups, self.features),
             self.param_dtype,
         )
-        x = _promote(x, self.dtype)
-        kernel = _promote(kernel, self.dtype)
+        cdt = _compute_dtype(x, self.dtype)
+        x = _promote(x, cdt)
+        kernel = _promote(kernel, cdt)
         y = lax.conv_general_dilated(
             x,
             kernel,
@@ -103,7 +112,7 @@ class Conv2d(nn.Module):
             bias = self.param(
                 "bias", torch_uniform_init(bound), (self.features,), self.param_dtype
             )
-            y = y + _promote(bias, self.dtype)
+            y = y + _promote(bias, cdt)
         return y
 
 
@@ -142,8 +151,9 @@ class ConvTranspose2d(nn.Module):
             (kh, kw, cin, self.features),
             self.param_dtype,
         )
-        x = _promote(x, self.dtype)
-        k = _promote(kernel, self.dtype)
+        cdt = _compute_dtype(x, self.dtype)
+        x = _promote(x, cdt)
+        k = _promote(kernel, cdt)
         # conv_transpose(x, W, s, p) == conv(dilate_lhs(x, s), flip(W), pad=k-1-p)
         k = jnp.flip(k, axis=(0, 1))
         y = lax.conv_general_dilated(
@@ -158,7 +168,7 @@ class ConvTranspose2d(nn.Module):
             bias = self.param(
                 "bias", torch_uniform_init(bound), (self.features,), self.param_dtype
             )
-            y = y + _promote(bias, self.dtype)
+            y = y + _promote(bias, cdt)
         return y
 
 
@@ -233,8 +243,9 @@ class Dense(nn.Module):
             (fan_in, self.features),
             self.param_dtype,
         )
-        x = _promote(x, self.dtype)
-        y = x @ _promote(kernel, self.dtype)
+        cdt = _compute_dtype(x, self.dtype)
+        x = _promote(x, cdt)
+        y = x @ _promote(kernel, cdt)
         if self.use_bias:
             bias = self.param(
                 "bias", torch_uniform_init(bound), (self.features,), self.param_dtype
@@ -262,6 +273,45 @@ def max_pool_2d(
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
+
+
+def adaptive_avg_pool_2d(x: jnp.ndarray, output_size: Union[int, Tuple[int, int]]) -> jnp.ndarray:
+    """``nn.AdaptiveAvgPool2d`` over NHWC: output bin (i, j) averages input
+    rows [floor(i*H/O), ceil((i+1)*H/O)) — torch's variable-window rule.
+
+    Static output size; implemented with an integral image (two cumsums +
+    O(O^2) gathers), which XLA fuses into a handful of VPU ops.
+    """
+    oh, ow = _pair(output_size)
+    _, h, w, _ = x.shape
+    if (h, w) == (oh, ow):
+        return x
+    if oh == 1 and ow == 1:
+        return global_avg_pool(x)
+    xf = x.astype(jnp.float32)
+    # integral image with a leading zero row/col
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(xf, axis=1), axis=2), ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+    def edges(n, o):
+        starts = [int(math.floor(i * n / o)) for i in range(o)]
+        ends = [int(math.ceil((i + 1) * n / o)) for i in range(o)]
+        return starts, ends
+
+    hs, he = edges(h, oh)
+    ws, we = edges(w, ow)
+    rows = []
+    for i in range(oh):
+        cols = []
+        for j in range(ow):
+            s = (
+                ii[:, he[i], we[j]]
+                - ii[:, hs[i], we[j]]
+                - ii[:, he[i], ws[j]]
+                + ii[:, hs[i], ws[j]]
+            )
+            cols.append(s / ((he[i] - hs[i]) * (we[j] - ws[j])))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1).astype(x.dtype)
 
 
 def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:

@@ -8,7 +8,9 @@ the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Override unconditionally: the driver environment pins JAX_PLATFORMS=axon
+# (the real TPU tunnel); tests must run on the virtual 8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# A site hook pre-imports jax/axon at interpreter startup, latching
+# JAX_PLATFORMS=axon before this file runs — override via the config API too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

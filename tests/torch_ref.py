@@ -112,3 +112,106 @@ def unet_forward(x, params, stats, use_sa=False, training=False):
         y = double_conv(y, params[f"conv{idx}"], stats[f"conv{idx}"], training)
 
     return conv2d(y, params["outc"])
+
+
+# ---- ResNet-50 / DeepLab / FCN twins (torchvision-segmentation semantics) --
+
+def bottleneck(x, p, s, stride, dilation, training=False):
+    out = conv2d(x, p["conv1"])
+    out, _, _ = batch_norm(out, p["bn1"], s["bn1"], training)
+    out = F.relu(out)
+    out = conv2d(out, p["conv2"], stride=stride, padding=dilation, dilation=dilation)
+    out, _, _ = batch_norm(out, p["bn2"], s["bn2"], training)
+    out = F.relu(out)
+    out = conv2d(out, p["conv3"])
+    out, _, _ = batch_norm(out, p["bn3"], s["bn3"], training)
+    if "se_block" in p:
+        out = se_block(out, p["se_block"])
+    if "downsample_conv" in p:
+        identity = conv2d(x, p["downsample_conv"], stride=stride)
+        identity, _, _ = batch_norm(identity, p["downsample_bn"], s["downsample_bn"], training)
+    else:
+        identity = x
+    return F.relu(out + identity)
+
+
+def resnet50_forward(x, params, stats, training=False,
+                     replace_stride_with_dilation=(False, True, True)):
+    x = conv2d(x, params["conv1"], stride=2, padding=3)
+    x, _, _ = batch_norm(x, params["bn1"], stats["bn1"], training)
+    x = F.relu(x)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+
+    dilation = 1
+    aux = None
+    layers, strides = (3, 4, 6, 3), (1, 2, 2, 2)
+    for li in range(4):
+        stride = strides[li]
+        dilate = li > 0 and replace_stride_with_dilation[li - 1]
+        previous_dilation = dilation
+        if dilate:
+            dilation *= stride
+            stride = 1
+        for bi in range(layers[li]):
+            name = f"layer{li + 1}_{bi}"
+            first = bi == 0
+            x = bottleneck(
+                x, params[name], stats[name],
+                stride=stride if first else 1,
+                dilation=previous_dilation if first else dilation,
+                training=training,
+            )
+        if li == 2:
+            aux = x
+    return {"out": x, "aux": aux}
+
+
+def aspp_forward(x, p, s, training=False, rates=(12, 24, 36)):
+    outs = []
+    b = conv2d(x, p["conv0"])
+    b, _, _ = batch_norm(b, p["bn0"], s["bn0"], training)
+    outs.append(F.relu(b))
+    for i, r in enumerate(rates, start=1):
+        b = conv2d(x, p[f"conv{i}"], padding=r, dilation=r)
+        b, _, _ = batch_norm(b, p[f"bn{i}"], s[f"bn{i}"], training)
+        outs.append(F.relu(b))
+    pool = x.mean(dim=(2, 3), keepdim=True)
+    pool = conv2d(pool, p["pool_conv"])
+    pool, _, _ = batch_norm(pool, p["pool_bn"], s["pool_bn"], training)
+    pool = F.relu(pool).expand(-1, -1, x.shape[2], x.shape[3])
+    outs.append(pool)
+    y = torch.cat(outs, dim=1)
+    y = conv2d(y, p["project_conv"])
+    y, _, _ = batch_norm(y, p["project_bn"], s["project_bn"], training)
+    return F.relu(y)  # dropout inactive in eval
+
+
+def deeplab_forward(x, params, stats, attention="none", training=False):
+    input_size = x.shape[-2:]
+    feats = resnet50_forward(x, params["backbone"], stats["backbone"], training)
+    y = aspp_forward(feats["out"], params["aspp"], stats["aspp"], training)
+    y = conv2d(y, params["head_conv"], padding=1)
+    if attention != "spatial":
+        y, _, _ = batch_norm(y, params["head_bn"], stats["head_bn"], training)
+        y = F.relu(y)
+    if attention == "channel":
+        y = channel_attention(y, params["attention"])
+    elif attention == "spatial":
+        y = spatial_attention_conv(y, params["attention"], kernel_size=7)
+    y = conv2d(y, params["classifier"])
+    return F.interpolate(y, size=input_size, mode="bilinear", align_corners=False)
+
+
+def fcn_forward(x, params, stats, attention="none", training=False):
+    input_size = x.shape[-2:]
+    feats = resnet50_forward(x, params["backbone"], stats["backbone"], training)
+    y = feats["out"]
+    if attention == "spatial":
+        y = spatial_attention_conv(y, params["spatial_attention"], kernel_size=7)
+    h = params["classifier"]
+    hs = stats["classifier"]
+    y = conv2d(y, h["conv1"], padding=1)
+    y, _, _ = batch_norm(y, h["bn1"], hs["bn1"], training)
+    y = F.relu(y)  # dropout inactive in eval
+    y = conv2d(y, h["conv2"])
+    return F.interpolate(y, size=input_size, mode="bilinear", align_corners=False)
