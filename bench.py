@@ -21,8 +21,14 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# Persistent compile cache: repeat bench runs skip the (minutes-long on the
+# axon tunnel) XLA compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/insarseg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_TILES_PER_SEC_PER_CHIP = 10_000 / 8  # BASELINE.md north star
 

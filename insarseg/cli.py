@@ -61,14 +61,24 @@ def cmd_train(args) -> int:
         mask_contract=cfg.mask_contract, normalize_mean=cfg.normalize_mean,
         normalize_std=cfg.normalize_std, ignore_index=cfg.ignore_index,
     )
-    train_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "train", **kw)
-    val_ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "val", **kw)
+    ds_cls = VOCSegDataset
+    if args.native:
+        from insarseg.data.native_loader import NativeVOCSegDataset
+
+        ds_cls = NativeVOCSegDataset
+    train_ds = ds_cls(cfg.voc_root, cfg.image_size, "train", **kw)
+    val_ds = ds_cls(cfg.voc_root, cfg.image_size, "val", **kw)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed, ignore_index=cfg.ignore_index,
                                num_workers=args.num_workers)
     val_loader = BatchLoader(val_ds, cfg.batch_size,
                              ignore_index=cfg.ignore_index,
                              num_workers=args.num_workers)
+    if args.native:
+        from insarseg.data.native_loader import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader)
+        val_loader = PrefetchLoader(val_loader)
     model = build_model(cfg)
     ckpt = Checkpointer(os.path.dirname(cfg.model_save_path) or ".")
     history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt)
@@ -176,6 +186,8 @@ def main(argv=None) -> int:
         p = sub.add_parser(name)
         p.add_argument("--preset", default=None)
         p.add_argument("--num-workers", type=int, default=0)
+        p.add_argument("--native", action="store_true",
+                       help="C++ preprocessing kernels + prefetch thread")
         p.add_argument("--checkpoint", default=None,
                        help="Orbax checkpoint directory")
         p.add_argument("--torch-checkpoint", default=None,

@@ -166,12 +166,36 @@ def unet_variables_to_torch(
     return out
 
 
+def graft_grayscale_stem(kernel: np.ndarray) -> np.ndarray:
+    """Adapt an RGB stem conv kernel to single-channel input by averaging the
+    input-channel axis — the reference's pretrained-weight adaptation
+    (``original_conv1.weight.mean(dim=1, keepdim=True)`` at
+    /root/reference/DeepLabV3.py:86, PSPNet.py:83, etc.).
+
+    Accepts either layout: HWIO (kh, kw, 3, cout) -> (kh, kw, 1, cout), or
+    torch OIHW (cout, 3, kh, kw) -> (cout, 1, kh, kw).
+    """
+    k = np.asarray(kernel)
+    if k.ndim != 4:
+        raise ValueError(f"expected a 4D conv kernel, got shape {k.shape}")
+    if k.shape[2] == 3:  # HWIO
+        return k.mean(axis=2, keepdims=True)
+    if k.shape[1] == 3:  # OIHW
+        return k.mean(axis=1, keepdims=True)
+    raise ValueError(f"no 3-channel input axis found in kernel shape {k.shape}")
+
+
 # --------------------------------------------------------------------------
 # torchvision-segmentation family (DeepLabV3 / FCN, incl. reference wrappers)
 # --------------------------------------------------------------------------
 
 def _resnet_backbone(b: _Builder, use_se: bool) -> None:
     b.conv("backbone.conv1", "backbone", "conv1")
+    # Pretrained torchvision checkpoints have an RGB stem; graft to grayscale
+    # via mean-over-RGB (the reference's adaptation, SURVEY.md §2.2.9).
+    stem = b.params["backbone"]["conv1"]["kernel"]
+    if stem.shape[2] == 3:
+        b.params["backbone"]["conv1"]["kernel"] = graft_grayscale_stem(stem)
     b.bn("backbone.bn1", "backbone", "bn1")
     for li, blocks in enumerate((3, 4, 6, 3), start=1):
         for bi in range(blocks):
