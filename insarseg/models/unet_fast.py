@@ -10,7 +10,13 @@ executes eval-mode forward with the hand-fused Pallas kernels:
   emits optimal code for them).
 
 Numerically equivalent to ``UNet.apply(..., train=False)`` (tested in
-interpret mode on CPU and on TPU); intended for the bf16 serving path.
+interpret mode on CPU and on TPU, maxdiff ~1e-3 in bf16).
+
+Measured on TPU v5e (batch 16, 512^2, bf16): the XLA path runs 59.9 ms /
+267 tiles/s vs 143 ms for this fused path — XLA's conv emitter wins, so
+``make_predict_fn`` (XLA) remains the default serving path and this module
+is the validated hand-kernel alternative (useful as a baseline for further
+Pallas work: the gap is DMA/compute overlap and tap-slice shifts).
 """
 
 from __future__ import annotations

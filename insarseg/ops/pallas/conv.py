@@ -5,17 +5,20 @@ Unet.py:40-54) dominates U-Net inference. This kernel runs one
 conv3x3-same + per-channel scale/bias (+ optional ReLU) entirely in VMEM:
 
 - formulation: 9 shifted MXU matmuls — for each (dy, dx) tap, a
-  (rows*W, Cin) x (Cin, Cout) dot accumulated in f32. M = rows*W is large
-  (thousands), so the MXU runs near-full tiles even at Cin=64.
-- memory: the input lives in HBM (pre-padded by 1 pixel); each grid step
-  DMAs its (block_h + 2)-row halo window into a VMEM scratch, computes, and
-  writes one (block_h, W, Cout) output block. Halos overlap by two rows —
-  BlockSpecs can't express that, hence the manual ``make_async_copy``.
+  (rows*W, Cin) x (Cin, Cout_tile) dot accumulated in f32. M = rows*W is
+  large (thousands), so the MXU runs near-full tiles even at Cin=64.
+- grid: (batch, H-blocks, Cout-tiles). The input lives in HBM (pre-padded
+  by 1 pixel); the halo window for an (batch, H-block) pair is DMA'd into a
+  VMEM scratch once (on the first Cout-tile — the scratch persists across
+  the sequential grid) and reused for all Cout tiles. Halo windows overlap
+  by two rows, which BlockSpecs can't express — hence the manual
+  ``make_async_copy``. Weights/scale/bias/output are BlockSpec-tiled over
+  Cout so the deep 1024->1024 levels fit VMEM.
 - Mosaic tiling constraints: sliced extents must align to the (8, 128)
   sublane/lane tiles, so W+2 is padded to a multiple of 8 and Cin to a
   multiple of 128 (the HBM memref is lane-padded to 128 anyway, so the
-  explicit zero-pad costs no extra traffic). The dx in {1, 2} taps use
-  ``pltpu.roll`` (sublane rotate) instead of unaligned slices.
+  explicit zero-pad costs no extra traffic). The dx taps use in-register
+  sublane-offset slices.
 - epilogue: the folded BN affine (insarseg.ops.fold.fold_bn) and ReLU are
   applied to the f32 accumulator before the store — BN never touches HBM.
 
@@ -48,18 +51,22 @@ def conv3x3_bn_relu_xla(x, w, scale, bias, relu=True):
     return jnp.maximum(y, 0) if relu else y
 
 
-def _pick_block_h(h: int, w: int, cin: int, vmem_budget: int = 8 * 2 ** 20) -> int:
-    """Largest power-of-two row block whose halo window + accumulator fit the
-    VMEM budget."""
-    bh = 1
+def _pick_blocks(h: int, w: int, cin: int, cout: int,
+                 vmem_budget: int = 9 * 2 ** 20):
+    """(block_h, cout_tile) fitting scoped VMEM: halo window + f32
+    accumulator + double-buffered weight and output blocks."""
+    ct = min(cout, 256)
+    best = 1
     for cand in (2, 4, 8, 16, 32, 64, 128):
         if h % cand != 0:
             continue
-        window = (cand + 2) * (w + 8) * cin * 2  # bf16 input window
-        acc = cand * w * max(cin, 128) * 4  # f32 accumulator upper bound
-        if window + acc <= vmem_budget:
-            bh = cand
-    return bh
+        window = (cand + 2) * (w + 8) * max(cin, 128) * 2  # bf16 input window
+        weights = 2 * 9 * max(cin, 128) * max(ct, 128) * 2  # dbl-buffered w
+        acc = cand * w * max(ct, 128) * 4  # f32 accumulator
+        out2 = 2 * cand * w * max(ct, 128) * 2  # dbl-buffered out block
+        if window + weights + acc + out2 <= vmem_budget:
+            best = cand
+    return best, ct
 
 
 def conv3x3_bn_relu(
@@ -83,10 +90,13 @@ def conv3x3_bn_relu(
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
 
-    if not interpret and wd % 8 != 0:
+    bh, ct = _pick_blocks(h, wd, cin, cout)
+    if block_h is not None:
+        bh = block_h
+    if not interpret and (wd % 8 != 0 or cout % ct != 0):
         return conv3x3_bn_relu_xla(x, w, scale, bias, relu)
-
-    bh = block_h or _pick_block_h(h, wd, cin)
+    if cout % ct != 0:
+        ct = cout
     assert h % bh == 0, (h, bh)
 
     # Mosaic tile constraints: W slices 8-aligned, channel lane 128-aligned.
@@ -97,19 +107,22 @@ def conv3x3_bn_relu(
     scale2 = jnp.asarray(scale, jnp.float32).reshape(1, cout)
     bias2 = jnp.asarray(bias, jnp.float32).reshape(1, cout)
 
-    kernel = functools.partial(_kernel, bh=bh, wd=wd, wp=wp, cin=cp,
-                               cout=cout, relu=relu, interpret=interpret)
+    kernel = functools.partial(_kernel, bh=bh, wd=wd, wp=wp, cin=cp, ct=ct,
+                               relu=relu)
     return pl.pallas_call(
         kernel,
-        grid=(b, h // bh),
+        grid=(b, h // bh, cout // ct),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded input, HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((3, 3, cp, ct), lambda bi, i, j: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda bi, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda bi, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bh, wd, cout), lambda bi, i: (bi, i, 0, 0),
+            (1, bh, wd, ct), lambda bi, i, j: (bi, i, 0, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
@@ -122,17 +135,23 @@ def conv3x3_bn_relu(
 
 
 def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, win, sem, *,
-            bh, wd, wp, cin, cout, relu, interpret):
+            bh, wd, wp, cin, ct, relu):
     bi = pl.program_id(0)
     i = pl.program_id(1)
-    # halo window: padded rows [i*bh, i*bh + bh + 2)
-    dma = pltpu.make_async_copy(
-        x_ref.at[bi, pl.ds(i * bh, bh + 2), :, :], win, sem
-    )
-    dma.start()
-    dma.wait()
+    j = pl.program_id(2)
 
-    acc = jnp.zeros((bh * wd, cout), jnp.float32)
+    # The halo window depends only on (bi, i); j is the fastest grid axis and
+    # the scratch persists across sequential grid steps — DMA once per row
+    # block, reuse for every Cout tile.
+    @pl.when(j == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(i * bh, bh + 2), :, :], win, sem
+        )
+        dma.start()
+        dma.wait()
+
+    acc = jnp.zeros((bh * wd, ct), jnp.float32)
     window = win[:]
     for dx in range(3):
         for dy in range(3):
@@ -147,4 +166,4 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, win, sem, *,
     y = acc * scale_ref[:] + bias_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
-    out_ref[:] = y.reshape(1, bh, wd, cout).astype(out_ref.dtype)
+    out_ref[:] = y.reshape(1, bh, wd, ct).astype(out_ref.dtype)

@@ -155,9 +155,12 @@ class _Averager:
 def evaluate(
     eval_step, params, batch_stats, loader, version: int = 2,
     mode: str = "batch_mean", prefix: str = "val", verbose: bool = True,
+    place=None,
 ) -> Dict[str, float]:
     avg = _Averager(version, mode)
     for batch in loader:
+        if place is not None:
+            batch = place(batch)
         out = eval_step(params, batch_stats, batch["image"], batch["mask"])
         avg.update(out, batch["n_valid"])
     res = avg.result(prefix)
@@ -179,13 +182,44 @@ def fit(
 ) -> List[Dict[str, Any]]:
     """Full training run. Returns the history list with the reference's JSON
     key contract: epoch, train_loss/acc/miou(/mpa/mf1), val_* (SURVEY.md §5).
+
+    Multi-chip: when more than one device is visible (or Config.mesh_* is
+    set), the batch is sharded over a ('data', 'spatial') ICI mesh and the
+    state replicated — gradients all-reduce and BatchNorm synchronizes via
+    GSPMD with no further changes (SURVEY.md §2.4).
     """
     rng = jax.random.key(cfg.seed) if rng is None else rng
     first = next(iter(train_loader))
+
+    mesh = None
+    if len(jax.devices()) > 1 or cfg.mesh_spatial > 1 or cfg.mesh_data > 1:
+        from insarseg.parallel import make_mesh, replicate, shard_batch
+
+        batch_size = first["image"].shape[0]
+        want = cfg.mesh_data
+        if want <= 0:
+            want = len(jax.devices()) // cfg.mesh_spatial
+        # the data axis must divide the global batch
+        data = max(d for d in range(1, want + 1) if batch_size % d == 0)
+        mesh = make_mesh(data, cfg.mesh_spatial)
+        place = lambda batch: shard_batch(batch, mesh)
+    else:
+        place = lambda batch: {
+            **batch,
+            "image": jnp.asarray(batch["image"]),
+            "mask": jnp.asarray(batch["mask"]),
+        }
+
     if state is None:
         rng, init_rng = jax.random.split(rng)
         state = create_state(
             model, init_rng, jnp.asarray(first["image"]), cfg.learning_rate
+        )
+    if mesh is not None:
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=replicate(state.opt_state, mesh),
         )
     train_step = make_train_step(model, cfg.num_classes, cfg.ignore_index)
     eval_step = make_eval_step(model, cfg.num_classes, cfg.ignore_index)
@@ -198,9 +232,9 @@ def fit(
         avg = _Averager(cfg.metrics_version, cfg.metrics_mode)
         for i, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
+            placed = place(batch)
             state, out = train_step(
-                state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
-                step_rng,
+                state, placed["image"], placed["mask"], step_rng
             )
             avg.update(out, batch["n_valid"])
             if verbose and (i + 1) % cfg.log_every_steps == 0:
@@ -219,6 +253,7 @@ def fit(
             val_metrics = evaluate(
                 eval_step, state.params, state.batch_stats, val_loader,
                 cfg.metrics_version, cfg.metrics_mode, verbose=verbose,
+                place=place,
             )
             epoch_metrics.update(val_metrics)
             cur = val_metrics.get("val_miou", 0.0)
