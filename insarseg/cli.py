@@ -51,6 +51,10 @@ def cmd_train(args) -> int:
     from insarseg.train.checkpoint import Checkpointer
     from insarseg.utils.history import save_history
 
+    if args.debug_nans:
+        from insarseg.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
     cfg = _build_cfg(args)
     if not os.path.isdir(os.path.join(cfg.voc_root, "JPEGImages")):
         print(f"error: dataset not found under {cfg.voc_root!r} "
@@ -188,6 +192,8 @@ def main(argv=None) -> int:
         p.add_argument("--num-workers", type=int, default=0)
         p.add_argument("--native", action="store_true",
                        help="C++ preprocessing kernels + prefetch thread")
+        p.add_argument("--debug-nans", action="store_true",
+                       help="raise on any NaN/Inf produced inside jit")
         p.add_argument("--checkpoint", default=None,
                        help="Orbax checkpoint directory")
         p.add_argument("--torch-checkpoint", default=None,

@@ -111,10 +111,16 @@ class BatchLoader:
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.ignore_index = ignore_index
         self.drop_last = drop_last
         self.num_workers = num_workers
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order of the next iteration (deterministic:
+        order = f(seed, epoch)). Without this, epochs advance automatically."""
+        self._epoch = epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -126,7 +132,8 @@ class BatchLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+            self._epoch += 1
 
         pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
         if self.num_workers > 0:

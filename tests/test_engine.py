@@ -98,3 +98,36 @@ def test_eval_deterministic(setup):
     r2 = engine.evaluate(eval_step, state.params, state.batch_stats, val_loader,
                          verbose=False)
     assert r1 == r2
+
+
+def test_fit_reproducible_with_seed(setup):
+    cfg, model, _, _ = setup
+    import dataclasses
+    cfg1 = dataclasses.replace(cfg, num_epochs=1)
+    ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "train")
+
+    def run():
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed)
+        return engine.fit(model, cfg1, loader, verbose=False)
+
+    # same seed + deterministic per-epoch shuffle => identical history
+    assert run() == run()
+
+
+def test_global_metrics_mode(setup):
+    cfg, model, train_loader, val_loader = setup
+    import dataclasses
+    first = next(iter(train_loader))
+    state = engine.create_state(
+        model, jax.random.key(0), jnp.asarray(first["image"]), cfg.learning_rate
+    )
+    eval_step = engine.make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+    rb = engine.evaluate(eval_step, state.params, state.batch_stats, val_loader,
+                         version=2, mode="batch_mean", verbose=False)
+    rg = engine.evaluate(eval_step, state.params, state.batch_stats, val_loader,
+                         version=2, mode="global", verbose=False)
+    # both produce the full key set; values differ in general (dataset mIoU
+    # != mean of batch mIoUs) but must be in [0, 1]
+    for r in (rb, rg):
+        for k in ("val_acc", "val_miou", "val_mpa", "val_mf1"):
+            assert 0.0 <= r[k] <= 1.0, (k, r)
