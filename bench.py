@@ -65,11 +65,14 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     best = 0.0
-    for per_chip_batch in (16, 32, 64):
+    # measured sweep (v5e, bf16 inputs): b32 270, b64 290, b96 325, b128 371
+    # tiles/s/chip; OOM at b160 — dispatch overhead on the tunnel keeps
+    # rewarding batch until HBM runs out.
+    for per_chip_batch in (64, 128):
         batch = per_chip_batch * n_chips
         images = jnp.asarray(
             rng.standard_normal((batch, tile, tile, 1)).astype(np.float32)
-        )
+        ).astype(jnp.bfloat16)
         if mesh is not None:
             images = shard_batch({"image": images}, mesh)["image"]
         iters = 10

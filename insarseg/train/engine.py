@@ -238,9 +238,16 @@ def fit(
             )
             avg.update(out, batch["n_valid"])
             if verbose and (i + 1) % cfg.log_every_steps == 0:
+                # reference step log: loss + acc + miou every N steps
+                # (/root/reference/Unet.py:278-279)
+                sm = M.compute(
+                    {k: out[k] for k in ("tp", "fp", "fn", "correct", "valid")},
+                    cfg.metrics_version,
+                )
                 print(
                     f"epoch [{epoch + 1}/{cfg.num_epochs}] step [{i + 1}] "
-                    f"loss {float(out['loss']):.4f}"
+                    f"loss {float(out['loss']):.4f} "
+                    f"acc {float(sm['acc']):.4f} miou {float(sm['miou']):.4f}"
                 )
         epoch_metrics = {"epoch": epoch + 1, **avg.result("train")}
         if verbose:

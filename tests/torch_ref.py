@@ -15,6 +15,8 @@ import torch.nn.functional as F
 
 
 def t(x) -> torch.Tensor:
+    if isinstance(x, torch.Tensor):
+        return x  # pass through live (possibly grad-tracking) tensors
     return torch.from_numpy(np.asarray(x, dtype=np.float32))
 
 
