@@ -189,7 +189,8 @@ def graft_grayscale_stem(kernel: np.ndarray) -> np.ndarray:
 # torchvision-segmentation family (DeepLabV3 / FCN, incl. reference wrappers)
 # --------------------------------------------------------------------------
 
-def _resnet_backbone(b: _Builder, use_se: bool) -> None:
+def _resnet_backbone(b: _Builder, use_se: bool,
+                     layers=(3, 4, 6, 3)) -> None:
     b.conv("backbone.conv1", "backbone", "conv1")
     # Pretrained torchvision checkpoints have an RGB stem; graft to grayscale
     # via mean-over-RGB (the reference's adaptation, SURVEY.md §2.2.9).
@@ -197,7 +198,7 @@ def _resnet_backbone(b: _Builder, use_se: bool) -> None:
     if stem.shape[2] == 3:
         b.params["backbone"]["conv1"]["kernel"] = graft_grayscale_stem(stem)
     b.bn("backbone.bn1", "backbone", "bn1")
-    for li, blocks in enumerate((3, 4, 6, 3), start=1):
+    for li, blocks in enumerate(layers, start=1):
         for bi in range(blocks):
             t = f"backbone.layer{li}.{bi}"
             j = ("backbone", f"layer{li}_{bi}")
@@ -217,14 +218,18 @@ def segmentation_variables_from_torch(
     model: str,
     attention: str = "none",
     prefix: str = "",
+    backbone: str = "resnet50",
 ) -> Dict[str, Dict]:
     """torchvision-style DeepLabV3/FCN state_dict -> insarseg variables.
 
     ``prefix`` strips a wrapper prefix (the reference wrappers nest the
     torchvision model under ``model.``). ``model`` in {'deeplabv3', 'fcn'}.
     """
+    from insarseg.models.resnet import backbone_layers
+
     b = _Builder(state_dict, prefix)
-    _resnet_backbone(b, use_se=(model == "fcn" and attention == "channel"))
+    _resnet_backbone(b, use_se=(model == "fcn" and attention == "channel"),
+                     layers=backbone_layers(backbone))
 
     if model == "deeplabv3":
         # classifier.0 = ASPP

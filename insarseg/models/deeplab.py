@@ -29,7 +29,7 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from insarseg.models.resnet import ResNet50
+from insarseg.models.resnet import ResNet50, backbone_layers
 from insarseg.ops.blocks import ChannelAttentionModule, SpatialAttentionConv
 from insarseg.ops.layers import BatchNorm2d, Conv2d, global_avg_pool
 from insarseg.ops.resize import resize_bilinear
@@ -87,13 +87,15 @@ class DeepLabV3(nn.Module):
 
     num_classes: int = 2
     attention: str = "none"
+    backbone: str = "resnet50"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         assert self.attention in ("none", "channel", "spatial")
         input_size = x.shape[1:3]
-        feats = ResNet50(dtype=self.dtype, name="backbone")(x, train=train)
+        feats = ResNet50(layers=backbone_layers(self.backbone),
+                         dtype=self.dtype, name="backbone")(x, train=train)
         y = ASPP(dtype=self.dtype, name="aspp")(feats["out"], train=train)
 
         # classifier[1]: Conv3x3(256, 256, pad=1, bias-free)

@@ -20,13 +20,12 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from insarseg.models.resnet import ResNet50
+from insarseg.models.resnet import ResNet50, backbone_layers
 from insarseg.ops.blocks import SpatialAttentionConv
 from insarseg.ops.layers import BatchNorm2d, Conv2d
 from insarseg.ops.resize import resize_bilinear
 
 Dtype = Any
-
 
 class FCNHead(nn.Module):
     num_classes: int = 2
@@ -52,6 +51,7 @@ class FCN(nn.Module):
 
     num_classes: int = 2
     attention: str = "none"
+    backbone: str = "resnet50"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -59,6 +59,7 @@ class FCN(nn.Module):
         assert self.attention in ("none", "channel", "spatial")
         input_size = x.shape[1:3]
         feats = ResNet50(
+            layers=backbone_layers(self.backbone),
             use_se=self.attention == "channel", dtype=self.dtype, name="backbone"
         )(x, train=train)
         y = feats["out"]

@@ -24,13 +24,12 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from insarseg.models.resnet import ResNet50
+from insarseg.models.resnet import ResNet50, backbone_layers
 from insarseg.ops.blocks import SpatialAttentionConv
 from insarseg.ops.layers import BatchNorm2d, Conv2d, adaptive_avg_pool_2d
 from insarseg.ops.resize import resize_bilinear
 
 Dtype = Any
-
 
 class PyramidPooling(nn.Module):
     bins: Sequence[int] = (1, 2, 3, 6)
@@ -55,6 +54,7 @@ class PyramidPooling(nn.Module):
 class PSPNet(nn.Module):
     num_classes: int = 2
     attention: str = "none"
+    backbone: str = "resnet50"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -62,6 +62,7 @@ class PSPNet(nn.Module):
         assert self.attention in ("none", "channel", "spatial")
         input_size = x.shape[1:3]
         feats = ResNet50(
+            layers=backbone_layers(self.backbone),
             use_se=self.attention == "channel", dtype=self.dtype, name="backbone"
         )(x, train=train)
         y = feats["out"]

@@ -18,13 +18,14 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def build_model(cfg) -> Any:
     """Construct the Flax module described by a ``insarseg.config.Config``."""
     return build(cfg.model, cfg.attention, num_classes=cfg.num_classes,
-                 dtype=_DTYPES[cfg.compute_dtype])
+                 backbone=cfg.backbone, dtype=_DTYPES[cfg.compute_dtype])
 
 
 def build(
     model: str,
     attention: str = "none",
     num_classes: int = 2,
+    backbone: str = "resnet50",
     dtype: Optional[Any] = None,
 ):
     model = model.lower()
@@ -37,9 +38,12 @@ def build(
             dtype=dtype,
         )
     if model == "deeplabv3":
-        return DeepLabV3(num_classes=num_classes, attention=attention, dtype=dtype)
+        return DeepLabV3(num_classes=num_classes, attention=attention,
+                         backbone=backbone, dtype=dtype)
     if model == "fcn":
-        return FCN(num_classes=num_classes, attention=attention, dtype=dtype)
+        return FCN(num_classes=num_classes, attention=attention,
+                   backbone=backbone, dtype=dtype)
     if model == "pspnet":
-        return PSPNet(num_classes=num_classes, attention=attention, dtype=dtype)
+        return PSPNet(num_classes=num_classes, attention=attention,
+                      backbone=backbone, dtype=dtype)
     raise KeyError(f"unknown model {model!r}; expected unet|deeplabv3|fcn|pspnet")

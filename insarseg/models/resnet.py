@@ -42,6 +42,14 @@ Dtype = Any
 # truncated variant.
 kaiming_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+BACKBONE_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+def backbone_layers(name: str):
+    if name not in BACKBONE_LAYERS:
+        raise ValueError(f"Unsupported backbone: {name}")
+    return BACKBONE_LAYERS[name]
+
 
 class Bottleneck(nn.Module):
     """ResNet Bottleneck (1x1 -> 3x3(stride, dilation) -> 1x1 x4), optional
@@ -92,9 +100,13 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 feature extractor (no avgpool/fc), output-stride 8 by
+    """ResNet-50/101 feature extractor (no avgpool/fc), output-stride 8 by
     default. Input NHWC (any channel count — the reference grafts a 1-channel
-    stem); returns {'out': (B,H/8,W/8,2048), 'aux': (B,H/8,W/8,1024)}."""
+    stem); returns {'out': (B,H/8,W/8,2048), 'aux': (B,H/8,W/8,1024)}.
+
+    ``layers=(3,4,23,3)`` gives ResNet-101 — the reference models accept
+    ``backbone='resnet101'`` (/root/reference/DeepLabV3.py:57-58,
+    PSPNet.py:55-57)."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, True, True)

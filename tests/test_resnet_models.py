@@ -148,3 +148,17 @@ def test_registry_builds_all_cells():
             assert mod is not None
     with pytest.raises(KeyError):
         build("segformer")
+
+
+def test_resnet101_backbone_option():
+    """backbone='resnet101' (accepted by the reference wrappers,
+    /root/reference/DeepLabV3.py:57-58) -> layers (3,4,23,3)."""
+    model = FCN(num_classes=2, backbone="resnet101")
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+    blocks = [k for k in v["params"]["backbone"] if k.startswith("layer3_")]
+    assert len(blocks) == 23
+    y = model.apply(v, jnp.zeros((1, 16, 16, 1)))
+    assert y.shape == (1, 16, 16, 2)
+    with pytest.raises(ValueError, match="Unsupported backbone"):
+        DeepLabV3(backbone="resnet34").init(jax.random.key(0),
+                                            jnp.zeros((1, 16, 16, 1)))
