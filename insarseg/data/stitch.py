@@ -116,7 +116,12 @@ def sliding_window_inference(
         every call reuses one compiled shape).
     """
     h, w, _ = scene.shape
-    coords = plan_tiles(h, w, tile, overlap)
+    # scenes smaller than the tile in either axis: zero-pad up, crop back
+    pad_h, pad_w = max(0, tile - h), max(0, tile - w)
+    if pad_h or pad_w:
+        scene = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = scene.shape[:2]
+    coords = plan_tiles(ph, pw, tile, overlap)
     tiles = extract_tiles(scene, coords, tile)
     n = tiles.shape[0]
     bs = batch_size or n
@@ -131,4 +136,5 @@ def sliding_window_inference(
         else:
             outs.append(apply_fn(chunk))
     logits = jnp.concatenate(outs)
-    return stitch_tiles(logits, coords, (h, w), window)
+    out = stitch_tiles(logits, coords, (ph, pw), window)
+    return out[:h, :w] if (pad_h or pad_w) else out

@@ -36,12 +36,17 @@ def make_synthetic_voc(
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
         a, b, c = rng.uniform(-3, 3, 3)
         phase = np.sin(2 * np.pi * (a * xx + b * yy + c)) * 0.5 + 0.5
-        noise = rng.random((size, size), dtype=np.float32) * 0.3
-        img = np.clip((phase * 0.7 + noise) * 255, 0, 255).astype(np.uint8)
-        # linear deformation band
-        w0 = rng.uniform(0.05, 0.2)
-        d0 = rng.uniform(0.2, 0.8)
-        band = np.abs(a * xx + b * yy - d0 * (abs(a) + abs(b) + 1e-3)) < w0
+        noise = rng.random((size, size), dtype=np.float32) * 0.25
+        # linear deformation band through a random in-frame point (guaranteed
+        # non-empty so class 1 is always present in every tile); the band is
+        # a *visible* fringe discontinuity so the task is learnable
+        theta = rng.uniform(0, np.pi)
+        x0, y0 = rng.uniform(0.25, 0.75, 2)
+        w0 = rng.uniform(0.03, 0.08)
+        band = np.abs(np.cos(theta) * (xx - x0) + np.sin(theta) * (yy - y0)) < w0
+        img_f = phase * 0.55 + noise
+        img_f = np.where(band, 1.0 - img_f * 0.5, img_f)  # bright shear zone
+        img = np.clip(img_f * 255, 0, 255).astype(np.uint8)
         mask = np.where(band, 255, 0).astype(np.uint8)
         Image.fromarray(img, "L").save(os.path.join(img_dir, f"{img_id}.jpg"))
         Image.fromarray(mask, "L").save(os.path.join(mask_dir, f"{img_id}.png"))

@@ -131,3 +131,19 @@ def test_global_metrics_mode(setup):
     for r in (rb, rg):
         for k in ("val_acc", "val_miou", "val_mpa", "val_mf1"):
             assert 0.0 <= r[k] <= 1.0, (k, r)
+
+
+def test_bf16_training_smoke(setup):
+    """compute_dtype=bfloat16 training: loss decreases, params stay f32."""
+    cfg, _, train_loader, _ = setup
+    import dataclasses
+    from insarseg.models.registry import build_model
+    cfg1 = dataclasses.replace(cfg, num_epochs=2, compute_dtype="bfloat16",
+                               learning_rate=1e-2)
+    model = build_model(dataclasses.replace(cfg1, model="unet"))
+    # narrow net for CPU speed
+    from insarseg.models.unet import UNet
+    model = UNet(num_classes=2, base_features=4, dtype=jnp.bfloat16)
+    h = engine.fit(model, cfg1, train_loader, verbose=False)
+    assert h[-1]["train_loss"] < h[0]["train_loss"] * 1.2
+    assert all(np.isfinite(v) for hh in h for v in hh.values())

@@ -78,3 +78,11 @@ def test_sliding_window_with_model():
     )
     assert out.shape == (48, 48, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sliding_window_small_scene_pads_and_crops():
+    rng = np.random.default_rng(3)
+    scene = jnp.asarray(rng.standard_normal((20, 40, 2), np.float32))
+    out = sliding_window_inference(lambda t: t, scene, tile=32, overlap=8)
+    assert out.shape == (20, 40, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(scene), atol=1e-5)
