@@ -41,8 +41,11 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbor resize of NHWC (or HWC / HW) to spatial ``size``.
 
-    Matches torch's nearest mode (floor of the source index under scale
-    mapping src = floor(dst * in/out)).
+    Note: uses jax.image.resize's half-pixel-center nearest rule, which
+    matches PIL's NEAREST (the reference's mask-resize path runs through PIL
+    host-side in ``data/voc.py``, so parity there is by construction); torch
+    ``F.interpolate(mode='nearest')`` uses the floor rule and can differ by
+    one source pixel — this on-device helper is for auxiliary use only.
     """
     h, w = size
     if x.ndim == 2:
