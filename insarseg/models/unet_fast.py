@@ -15,8 +15,9 @@ interpret mode on CPU and on TPU, maxdiff ~1e-3 in bf16).
 Measured on TPU v5e (batch 16, 512^2, bf16): the XLA path runs 59.9 ms /
 267 tiles/s vs 143 ms for this fused path — XLA's conv emitter wins, so
 ``make_predict_fn`` (XLA) remains the default serving path and this module
-is the validated hand-kernel alternative (useful as a baseline for further
-Pallas work: the gap is DMA/compute overlap and tap-slice shifts).
+is the validated hand-kernel alternative. Per-kernel (8x512^2x64->64):
+XLA 6.0 ms; pallas 10.7 ms serial-DMA, 9.06 ms double-buffered — the
+remaining gap is the unaligned dx tap shifts.
 """
 
 from __future__ import annotations

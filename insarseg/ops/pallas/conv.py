@@ -127,8 +127,8 @@ def conv3x3_bn_relu(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, wp, cp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh + 2, wp, cp), x.dtype),  # double-buffered halo
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, wpad.astype(x.dtype), scale2, bias2)
@@ -139,20 +139,43 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, win, sem, *,
     bi = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    n_i = pl.num_programs(1)
 
     # The halo window depends only on (bi, i); j is the fastest grid axis and
-    # the scratch persists across sequential grid steps — DMA once per row
-    # block, reuse for every Cout tile.
+    # the scratch persists across sequential grid steps. Double-buffered:
+    # while computing row-block (bi, i) from its slot, the next block's
+    # window streams into the other slot. Slot parity follows the *global*
+    # row-block counter so it alternates correctly across batch boundaries.
+    slot = jax.lax.rem(bi * n_i + i, 2)
+
+    def start_dma(b_idx, i_idx, s):
+        pltpu.make_async_copy(
+            x_ref.at[b_idx, pl.ds(i_idx * bh, bh + 2), :, :],
+            win.at[s], sem.at[s],
+        ).start()
+
     @pl.when(j == 0)
     def _():
-        dma = pltpu.make_async_copy(
-            x_ref.at[bi, pl.ds(i * bh, bh + 2), :, :], win, sem
-        )
-        dma.start()
-        dma.wait()
+        @pl.when(jnp.logical_and(bi == 0, i == 0))
+        def _():
+            start_dma(bi, i, slot)
+
+        pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(i * bh, bh + 2), :, :], win.at[slot],
+            sem.at[slot],
+        ).wait()
+
+        # prefetch the next row block (possibly of the next batch element)
+        is_last_i = i == n_i - 1
+        next_bi = jnp.where(is_last_i, bi + 1, bi)
+        next_i = jnp.where(is_last_i, 0, i + 1)
+
+        @pl.when(next_bi < pl.num_programs(0))
+        def _():
+            start_dma(next_bi, next_i, 1 - slot)
 
     acc = jnp.zeros((bh * wd, ct), jnp.float32)
-    window = win[:]
+    window = win[slot]
     for dx in range(3):
         for dy in range(3):
             # tap extents are tile-aligned (wd % 8 == 0, cin % 128 == 0);
