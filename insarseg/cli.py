@@ -64,6 +64,7 @@ def cmd_train(args) -> int:
     kw = dict(
         mask_contract=cfg.mask_contract, normalize_mean=cfg.normalize_mean,
         normalize_std=cfg.normalize_std, ignore_index=cfg.ignore_index,
+        raw_u8=args.raw_u8,
     )
     ds_cls = VOCSegDataset
     if args.native:
@@ -194,6 +195,9 @@ def main(argv=None) -> int:
                        help="C++ preprocessing kernels + prefetch thread")
         p.add_argument("--debug-nans", action="store_true",
                        help="raise on any NaN/Inf produced inside jit")
+        p.add_argument("--raw-u8", action="store_true",
+                       help="ship uint8 tiles to the device and normalize "
+                            "on-device (4x less host->device transfer)")
         p.add_argument("--checkpoint", default=None,
                        help="Orbax checkpoint directory")
         p.add_argument("--torch-checkpoint", default=None,

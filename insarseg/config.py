@@ -39,6 +39,9 @@ class Config:
     mask_contract: str = "legacy"  # legacy | index
     normalize_mean: float = 0.5
     normalize_std: float = 0.5
+    # On-device D4 augmentation (flips+transpose) inside the train step.
+    # The reference has no augmentation (SURVEY.md 2.2.17) -> default off.
+    augment: bool = False
 
     # -- training (L5) --
     batch_size: int = 8

@@ -81,7 +81,8 @@ class NativeVOCSegDataset(VOCSegDataset):
 
     def __getitem__(self, idx: int):
         L = lib()
-        if L is None:
+        if L is None or self.raw_u8:
+            # raw_u8 ships bytes; normalization happens on-device instead
             return super().__getitem__(idx)
         from PIL import Image
 

@@ -49,6 +49,7 @@ class VOCSegDataset:
         normalize_mean: float = 0.5,
         normalize_std: float = 0.5,
         ignore_index: int = 255,
+        raw_u8: bool = False,
     ):
         self.voc_root = voc_root
         self.image_size = int(image_size)
@@ -56,6 +57,9 @@ class VOCSegDataset:
         self.mean = normalize_mean
         self.std = normalize_std
         self.ignore_index = ignore_index
+        # raw_u8: skip host normalization; images ship as uint8 and the
+        # jitted step normalizes on-device (insarseg.data.augment)
+        self.raw_u8 = raw_u8
 
         self.image_dir = os.path.join(voc_root, "JPEGImages")
         self.mask_dir = os.path.join(voc_root, "SegmentationClass")
@@ -75,8 +79,11 @@ class VOCSegDataset:
 
         img = Image.open(os.path.join(self.image_dir, f"{img_id}.jpg")).convert("L")
         img = img.resize((s, s), Image.BILINEAR)
-        x = np.asarray(img, dtype=np.float32) / 255.0
-        x = (x - self.mean) / self.std
+        if self.raw_u8:
+            x = np.asarray(img, dtype=np.uint8)
+        else:
+            x = np.asarray(img, dtype=np.float32) / 255.0
+            x = (x - self.mean) / self.std
 
         mask = Image.open(os.path.join(self.mask_dir, f"{img_id}.png")).convert("L")
         mask = mask.resize((s, s), Image.NEAREST)

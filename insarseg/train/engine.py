@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from insarseg.data.augment import normalize_u8, random_dihedral
 from insarseg.train import metrics as M
 from insarseg.train.losses import cross_entropy_loss
 
@@ -71,12 +72,24 @@ def create_state(
 
 
 def make_train_step(
-    model, num_classes: int, ignore_index: int = 255
+    model, num_classes: int, ignore_index: int = 255,
+    augment: bool = False, normalize: Optional[tuple] = (0.5, 0.5),
 ) -> Callable:
     """Build the jitted train step: (state, image, mask, rng) ->
-    (state, {loss, counts...})."""
+    (state, {loss, counts...}).
+
+    ``augment`` applies a random on-device D4 transform per sample. uint8
+    images are normalized on-device with ``normalize=(mean, std)`` — ship
+    raw bytes from the host, 4x less transfer.
+    """
 
     def step(state: TrainState, image, mask, rng):
+        if image.dtype == jnp.uint8:
+            image = normalize_u8(image, *normalize)
+        if augment:
+            rng, aug_rng = jax.random.split(rng)
+            image, mask = random_dihedral(aug_rng, image, mask)
+
         def loss_fn(params):
             out = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -99,8 +112,11 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model, num_classes: int, ignore_index: int = 255) -> Callable:
+def make_eval_step(model, num_classes: int, ignore_index: int = 255,
+                   normalize: Optional[tuple] = (0.5, 0.5)) -> Callable:
     def step(params, batch_stats, image, mask):
+        if image.dtype == jnp.uint8:
+            image = normalize_u8(image, *normalize)
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, image, train=False
         )
@@ -221,8 +237,13 @@ def fit(
             batch_stats=replicate(state.batch_stats, mesh),
             opt_state=replicate(state.opt_state, mesh),
         )
-    train_step = make_train_step(model, cfg.num_classes, cfg.ignore_index)
-    eval_step = make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+    norm = (cfg.normalize_mean, cfg.normalize_std)
+    train_step = make_train_step(
+        model, cfg.num_classes, cfg.ignore_index,
+        augment=getattr(cfg, "augment", False), normalize=norm,
+    )
+    eval_step = make_eval_step(model, cfg.num_classes, cfg.ignore_index,
+                               normalize=norm)
 
     best_miou = -1.0
     history: List[Dict[str, Any]] = []
