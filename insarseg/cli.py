@@ -182,12 +182,39 @@ def _load_variables(args, cfg, model):
     return model.init(jax.random.key(cfg.seed), x)
 
 
+def cmd_export_torch(args) -> int:
+    """Export a trained UNet-family checkpoint as a reference-compatible
+    ``.pth`` state_dict (inverse of --torch-checkpoint import)."""
+    import torch
+
+    from insarseg.compat.torch_io import unet_variables_to_torch
+    from insarseg.models.registry import build_model
+
+    cfg = _build_cfg(args)
+    if cfg.model != "unet":
+        print("error: export-torch currently supports the unet family "
+              "(the reference's hand-rolled naming)", file=sys.stderr)
+        return 2
+    model = build_model(cfg)
+    variables = _load_variables(args, cfg, model)
+    sd = unet_variables_to_torch(
+        variables, use_se=cfg.attention == "channel",
+        use_sa=cfg.attention == "spatial",
+    )
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               if getattr(v, "ndim", 0) else torch.tensor(v)
+               for k, v in sd.items()}
+    torch.save(tensors, args.output)
+    print(f"exported {len(tensors)} tensors to {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="insarseg")
     sub = parser.add_subparsers(dest="command", required=True)
 
     for name, fn in (("train", cmd_train), ("eval", cmd_eval),
-                     ("predict", cmd_predict)):
+                     ("predict", cmd_predict), ("export-torch", cmd_export_torch)):
         p = sub.add_parser(name)
         p.add_argument("--preset", default=None)
         p.add_argument("--num-workers", type=int, default=0)
@@ -211,6 +238,8 @@ def main(argv=None) -> int:
             p.add_argument("--tile", type=int, default=512)
             p.add_argument("--overlap", type=int, default=64)
             p.add_argument("--tile-batch", type=int, default=None)
+        if name == "export-torch":
+            p.add_argument("--output", required=True)
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)
