@@ -135,10 +135,24 @@ def cmd_predict(args) -> int:
     predict = make_predict_fn(model, mesh=mesh)
     if mesh is not None:
         variables = replicate(variables, mesh)
+
+    tile_batch = args.tile_batch
+    if mesh is not None:
+        # the sharded tile batch must be a multiple of the mesh; partial
+        # chunks are padded to the batch size by sliding_window_inference
+        import math
+
+        from insarseg.data.stitch import plan_tiles
+
+        h, w = scene.shape[:2]
+        n_tiles = len(plan_tiles(max(h, args.tile), max(w, args.tile),
+                                 args.tile, args.overlap))
+        per = min(tile_batch or n_tiles, n_tiles, 64)
+        tile_batch = n * math.ceil(per / n)
     logits = sliding_window_inference(
         lambda t: predict(variables, t), scene,
         tile=args.tile, overlap=args.overlap,
-        batch_size=args.tile_batch,
+        batch_size=tile_batch,
     )
     pred = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
     out = args.output or (os.path.splitext(args.input)[0] + "_pred.png")
