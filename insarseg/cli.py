@@ -86,7 +86,17 @@ def cmd_train(args) -> int:
         val_loader = PrefetchLoader(val_loader)
     model = build_model(cfg)
     ckpt = Checkpointer(os.path.dirname(cfg.model_save_path) or ".")
-    history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt)
+    history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt,
+                         resume=args.resume)
+    if args.resume and os.path.exists(cfg.metrics_save_path):
+        # merge: keep the crashed run's completed epochs, replace any the
+        # resumed run re-trained, append the new ones
+        from insarseg.utils.history import load_history
+
+        redone = {h["epoch"] for h in history}
+        history = [h for h in load_history(cfg.metrics_save_path)
+                   if h["epoch"] not in redone] + history
+        history.sort(key=lambda h: h["epoch"])
     save_history(history, cfg.metrics_save_path)
     print(f"history saved to {cfg.metrics_save_path}")
     return 0
@@ -102,6 +112,8 @@ def cmd_eval(args) -> int:
     model = build_model(cfg)
     ds = VOCSegDataset(cfg.voc_root, cfg.image_size, args.split,
                        mask_contract=cfg.mask_contract,
+                       normalize_mean=cfg.normalize_mean,
+                       normalize_std=cfg.normalize_std,
                        ignore_index=cfg.ignore_index)
     loader = BatchLoader(ds, cfg.batch_size, ignore_index=cfg.ignore_index)
 
@@ -197,24 +209,34 @@ def _load_variables(args, cfg, model):
 
 
 def cmd_export_torch(args) -> int:
-    """Export a trained UNet-family checkpoint as a reference-compatible
-    ``.pth`` state_dict (inverse of --torch-checkpoint import)."""
+    """Export a trained checkpoint (any family) as a reference-compatible
+    ``.pth`` state_dict (inverse of --torch-checkpoint import): hand-rolled
+    UNet naming, or torchvision naming for deeplabv3/fcn."""
     import torch
 
-    from insarseg.compat.torch_io import unet_variables_to_torch
+    from insarseg.compat.torch_io import (
+        segmentation_variables_to_torch,
+        unet_variables_to_torch,
+    )
     from insarseg.models.registry import build_model
 
     cfg = _build_cfg(args)
-    if cfg.model != "unet":
-        print("error: export-torch currently supports the unet family "
-              "(the reference's hand-rolled naming)", file=sys.stderr)
-        return 2
     model = build_model(cfg)
     variables = _load_variables(args, cfg, model)
-    sd = unet_variables_to_torch(
-        variables, use_se=cfg.attention == "channel",
-        use_sa=cfg.attention == "spatial",
-    )
+    if cfg.model == "unet":
+        sd = unet_variables_to_torch(
+            variables, use_se=cfg.attention == "channel",
+            use_sa=cfg.attention == "spatial",
+        )
+    elif cfg.model in ("deeplabv3", "fcn"):
+        sd = segmentation_variables_to_torch(
+            variables, cfg.model, cfg.attention, backbone=cfg.backbone,
+        )
+    else:
+        print(f"error: export-torch has no reference naming for "
+              f"{cfg.model!r} (the true-PSPNet extension has no torch twin)",
+              file=sys.stderr)
+        return 2
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
                if getattr(v, "ndim", 0) else torch.tensor(v)
                for k, v in sd.items()}
@@ -239,6 +261,10 @@ def main(argv=None) -> int:
         p.add_argument("--raw-u8", action="store_true",
                        help="ship uint8 tiles to the device and normalize "
                             "on-device (4x less host->device transfer)")
+        p.add_argument("--resume", action="store_true",
+                       help="restore the latest TrainState (params, optimizer, "
+                            "step) from the checkpoint dir and continue the "
+                            "epoch count — crash recovery")
         p.add_argument("--checkpoint", default=None,
                        help="Orbax checkpoint directory")
         p.add_argument("--torch-checkpoint", default=None,

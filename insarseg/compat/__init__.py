@@ -5,4 +5,5 @@ from insarseg.compat.torch_io import (  # noqa: F401
     unet_variables_from_torch,
     unet_variables_to_torch,
     segmentation_variables_from_torch,
+    segmentation_variables_to_torch,
 )

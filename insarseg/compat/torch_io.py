@@ -51,6 +51,8 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
 
 
 class _Builder:
+    """torch state_dict -> jax variables (import direction)."""
+
     def __init__(self, state_dict: Mapping[str, Any], prefix: str = ""):
         self.sd = {k: _np(v) for k, v in state_dict.items()}
         self.prefix = prefix
@@ -81,8 +83,74 @@ class _Builder:
         _set(self.stats, jpath + ("mean",), self.sd[p + ".running_mean"])
         _set(self.stats, jpath + ("var",), self.sd[p + ".running_var"])
 
+    def has(self, tkey: str, *jpath: str) -> bool:
+        return self.prefix + tkey + ".weight" in self.sd
+
+    def graft_stem_if_rgb(self, *jpath: str) -> None:
+        """Pretrained torchvision checkpoints have an RGB stem; graft to
+        grayscale via mean-over-RGB (the reference's adaptation,
+        SURVEY.md §2.2.9). Import-only: exported kernels are already 1-ch."""
+        node = self.params
+        for k in jpath:
+            node = node[k]
+        if node["kernel"].shape[2] == 3:
+            node["kernel"] = graft_grayscale_stem(node["kernel"])
+
     def variables(self) -> Dict[str, Dict]:
         return {"params": self.params, "batch_stats": self.stats}
+
+
+class _Exporter:
+    """jax variables -> torch state_dict (export direction). Mirror of
+    :class:`_Builder` so one mapping function serves both directions."""
+
+    def __init__(self, variables: Mapping[str, Any], prefix: str = ""):
+        self.params = variables["params"]
+        self.stats = variables.get("batch_stats", {})
+        self.prefix = prefix
+        self.out: Dict[str, np.ndarray] = {}
+
+    @staticmethod
+    def _get(tree, path: Tuple[str, ...]):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node
+
+    def conv(self, tkey: str, *jpath: str, transpose: bool = False) -> None:
+        p = self._get(self.params, jpath)
+        k = _np(p["kernel"])
+        self.out[self.prefix + tkey + ".weight"] = (
+            k.transpose(2, 3, 0, 1) if transpose else k.transpose(3, 2, 0, 1)
+        )
+        if "bias" in p:
+            self.out[self.prefix + tkey + ".bias"] = _np(p["bias"])
+
+    def linear(self, tkey: str, *jpath: str) -> None:
+        p = self._get(self.params, jpath)
+        self.out[self.prefix + tkey + ".weight"] = _np(p["kernel"]).T
+        if "bias" in p:
+            self.out[self.prefix + tkey + ".bias"] = _np(p["bias"])
+
+    def bn(self, tkey: str, *jpath: str) -> None:
+        p = self._get(self.params, jpath)
+        s = self._get(self.stats, jpath)
+        t = self.prefix + tkey
+        self.out[t + ".weight"] = _np(p["scale"])
+        self.out[t + ".bias"] = _np(p["bias"])
+        self.out[t + ".running_mean"] = _np(s["mean"])
+        self.out[t + ".running_var"] = _np(s["var"])
+        self.out[t + ".num_batches_tracked"] = np.asarray(0)
+
+    def has(self, tkey: str, *jpath: str) -> bool:
+        try:
+            self._get(self.params, jpath)
+            return True
+        except KeyError:
+            return False
+
+    def graft_stem_if_rgb(self, *jpath: str) -> None:
+        pass  # export side: the jax stem is already single-channel
 
 
 # --------------------------------------------------------------------------
@@ -189,28 +257,64 @@ def graft_grayscale_stem(kernel: np.ndarray) -> np.ndarray:
 # torchvision-segmentation family (DeepLabV3 / FCN, incl. reference wrappers)
 # --------------------------------------------------------------------------
 
-def _resnet_backbone(b: _Builder, use_se: bool,
-                     layers=(3, 4, 6, 3)) -> None:
-    b.conv("backbone.conv1", "backbone", "conv1")
-    # Pretrained torchvision checkpoints have an RGB stem; graft to grayscale
-    # via mean-over-RGB (the reference's adaptation, SURVEY.md §2.2.9).
-    stem = b.params["backbone"]["conv1"]["kernel"]
-    if stem.shape[2] == 3:
-        b.params["backbone"]["conv1"]["kernel"] = graft_grayscale_stem(stem)
-    b.bn("backbone.bn1", "backbone", "bn1")
+def _resnet_backbone(m, use_se: bool, layers=(3, 4, 6, 3)) -> None:
+    """Direction-agnostic resnet mapping: ``m`` is a _Builder or _Exporter."""
+    m.conv("backbone.conv1", "backbone", "conv1")
+    m.graft_stem_if_rgb("backbone", "conv1")
+    m.bn("backbone.bn1", "backbone", "bn1")
     for li, blocks in enumerate(layers, start=1):
         for bi in range(blocks):
             t = f"backbone.layer{li}.{bi}"
             j = ("backbone", f"layer{li}_{bi}")
             for ci in (1, 2, 3):
-                b.conv(f"{t}.conv{ci}", *j, f"conv{ci}")
-                b.bn(f"{t}.bn{ci}", *j, f"bn{ci}")
-            if b.prefix + f"{t}.downsample.0.weight" in b.sd:
-                b.conv(f"{t}.downsample.0", *j, "downsample_conv")
-                b.bn(f"{t}.downsample.1", *j, "downsample_bn")
+                m.conv(f"{t}.conv{ci}", *j, f"conv{ci}")
+                m.bn(f"{t}.bn{ci}", *j, f"bn{ci}")
+            if m.has(f"{t}.downsample.0", *j, "downsample_conv"):
+                m.conv(f"{t}.downsample.0", *j, "downsample_conv")
+                m.bn(f"{t}.downsample.1", *j, "downsample_bn")
             if use_se:
-                b.conv(f"{t}.se_block.fc.0", *j, "se_block", "fc1")
-                b.conv(f"{t}.se_block.fc.2", *j, "se_block", "fc2")
+                m.conv(f"{t}.se_block.fc.0", *j, "se_block", "fc1")
+                m.conv(f"{t}.se_block.fc.2", *j, "se_block", "fc2")
+
+
+def _map_segmentation(m, model: str, attention: str, backbone: str) -> None:
+    """The full torchvision-naming <-> insarseg-tree mapping for the
+    DeepLabV3/FCN families, shared by import and export. Naming follows the
+    reference wrappers (``attention_module`` at
+    /root/reference/DeepLabV3-ChannelAttention.py:138, ``spatial_attention``
+    at PSPNet-SpatialAttention.py:124, per-bottleneck ``se_block`` at
+    PSPNet-ChannelAttention.py:117)."""
+    from insarseg.models.resnet import backbone_layers
+
+    _resnet_backbone(m, use_se=(model == "fcn" and attention == "channel"),
+                     layers=backbone_layers(backbone))
+
+    if model == "deeplabv3":
+        # classifier.0 = ASPP
+        for i in range(4):  # convs.0..3: 1x1 + three atrous branches
+            m.conv(f"classifier.0.convs.{i}.0", "aspp", f"conv{i}")
+            m.bn(f"classifier.0.convs.{i}.1", "aspp", f"bn{i}")
+        m.conv("classifier.0.convs.4.1", "aspp", "pool_conv")
+        m.bn("classifier.0.convs.4.2", "aspp", "pool_bn")
+        m.conv("classifier.0.project.0", "aspp", "project_conv")
+        m.bn("classifier.0.project.1", "aspp", "project_bn")
+        m.conv("classifier.1", "head_conv")
+        if attention != "spatial":
+            m.bn("classifier.2", "head_bn")
+        m.conv("classifier.4", "classifier")
+        if attention == "channel":
+            m.conv("attention_module.mlp.0", "attention", "mlp_fc1")
+            m.conv("attention_module.mlp.2", "attention", "mlp_fc2")
+        elif attention == "spatial":
+            m.conv("attention_module.conv", "attention", "conv")
+    elif model == "fcn":
+        m.conv("classifier.0", "classifier", "conv1")
+        m.bn("classifier.1", "classifier", "bn1")
+        m.conv("classifier.4", "classifier", "conv2")
+        if attention == "spatial":
+            m.conv("spatial_attention.conv", "spatial_attention", "conv")
+    else:
+        raise KeyError(f"unknown model {model!r}")
 
 
 def segmentation_variables_from_torch(
@@ -225,36 +329,22 @@ def segmentation_variables_from_torch(
     ``prefix`` strips a wrapper prefix (the reference wrappers nest the
     torchvision model under ``model.``). ``model`` in {'deeplabv3', 'fcn'}.
     """
-    from insarseg.models.resnet import backbone_layers
-
     b = _Builder(state_dict, prefix)
-    _resnet_backbone(b, use_se=(model == "fcn" and attention == "channel"),
-                     layers=backbone_layers(backbone))
-
-    if model == "deeplabv3":
-        # classifier.0 = ASPP
-        for i in range(4):  # convs.0..3: 1x1 + three atrous branches
-            b.conv(f"classifier.0.convs.{i}.0", "aspp", f"conv{i}")
-            b.bn(f"classifier.0.convs.{i}.1", "aspp", f"bn{i}")
-        b.conv("classifier.0.convs.4.1", "aspp", "pool_conv")
-        b.bn("classifier.0.convs.4.2", "aspp", "pool_bn")
-        b.conv("classifier.0.project.0", "aspp", "project_conv")
-        b.bn("classifier.0.project.1", "aspp", "project_bn")
-        b.conv("classifier.1", "head_conv")
-        if attention != "spatial":
-            b.bn("classifier.2", "head_bn")
-        b.conv("classifier.4", "classifier")
-        if attention == "channel":
-            b.conv("attention_module.mlp.0", "attention", "mlp_fc1")
-            b.conv("attention_module.mlp.2", "attention", "mlp_fc2")
-        elif attention == "spatial":
-            b.conv("attention_module.conv", "attention", "conv")
-    elif model == "fcn":
-        b.conv("classifier.0", "classifier", "conv1")
-        b.bn("classifier.1", "classifier", "bn1")
-        b.conv("classifier.4", "classifier", "conv2")
-        if attention == "spatial":
-            b.conv("spatial_attention.conv", "spatial_attention", "conv")
-    else:
-        raise KeyError(f"unknown model {model!r}")
+    _map_segmentation(b, model, attention, backbone)
     return b.variables()
+
+
+def segmentation_variables_to_torch(
+    variables: Mapping[str, Any],
+    model: str,
+    attention: str = "none",
+    prefix: str = "",
+    backbone: str = "resnet50",
+) -> Dict[str, np.ndarray]:
+    """Inverse converter: insarseg DeepLabV3/FCN variables -> a torchvision-
+    naming state_dict the reference wrappers can ``load_state_dict``
+    (the reference's users save ``fcn_*.pth`` / deeplab ``.pth`` checkpoints,
+    /root/reference/PSPNet.py:31, DeepLabV3.py:30)."""
+    e = _Exporter(variables, prefix)
+    _map_segmentation(e, model, attention, backbone)
+    return e.out

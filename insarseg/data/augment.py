@@ -42,7 +42,7 @@ def random_dihedral(
     flip_v = jax.random.bernoulli(r2, 0.5, (b,))
     transp = jax.random.bernoulli(r3, 0.5, (b,))
 
-    def apply(x, chan_last: bool):
+    def apply(x):
         fh = flip_h.reshape((b,) + (1,) * (x.ndim - 1))
         fv = flip_v.reshape((b,) + (1,) * (x.ndim - 1))
         tp = transp.reshape((b,) + (1,) * (x.ndim - 1))
@@ -51,4 +51,4 @@ def random_dihedral(
         x = jnp.where(tp, jnp.swapaxes(x, 1, 2), x)
         return x
 
-    return apply(image, True), apply(mask, False)
+    return apply(image), apply(mask)

@@ -55,6 +55,10 @@ def lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_float]
         L.mask_legacy.argtypes = [u8p, i32p, ctypes.c_int64]
         L.mask_index.argtypes = [u8p, i32p, ctypes.c_int64]
+        L.normalize_batch.argtypes = [ctypes.POINTER(u8p), f32p,
+                                      ctypes.c_int32, ctypes.c_int64,
+                                      ctypes.c_float, ctypes.c_float,
+                                      ctypes.c_int32]
         L.stitch_accumulate.argtypes = [f32p, f32p] + [ctypes.c_int64] * 3 + \
             [f32p, f32p] + [ctypes.c_int64] * 3
         _LIB = L
@@ -104,6 +108,28 @@ class NativeVOCSegDataset(VOCSegDataset):
         return x[..., None], m
 
 
+def normalize_batch_host(u8_batch: np.ndarray, mean: float = 0.5,
+                         std: float = 0.5, n_threads: int = 4) -> np.ndarray:
+    """Fused threaded u8 -> normalized-f32 conversion of a whole (B, ...)
+    batch via the native kernel (numpy fallback). Used by the streaming
+    scene pipeline to prepare tile batches while the TPU runs."""
+    u8_batch = np.ascontiguousarray(u8_batch, np.uint8)
+    b = u8_batch.shape[0]
+    hw = int(u8_batch.size // max(b, 1))
+    out = np.empty(u8_batch.shape, np.float32)
+    L = lib()
+    if L is None or b == 0:
+        return ((u8_batch.astype(np.float32) / 255.0) - mean) / std
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcs = (u8p * b)(*(
+        u8_batch[i].ctypes.data_as(u8p) for i in range(b)
+    ))
+    L.normalize_batch(srcs, _as_f32p(out), b, hw,
+                      ctypes.c_float(mean), ctypes.c_float(std),
+                      ctypes.c_int32(n_threads))
+    return out
+
+
 class PrefetchLoader:
     """Background-thread prefetch over any batch iterable (depth-bounded)."""
 
@@ -113,6 +139,10 @@ class PrefetchLoader:
 
     def __len__(self):
         return len(self.loader)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.depth)

@@ -23,6 +23,13 @@ zero-pads the final partial batch to a fixed batch size (padded pixels get
 ``ignore_index`` masks, so they contribute nothing to loss or metrics) — one
 static shape per epoch means one XLA compilation, no recompiles on the tail
 batch. Decode/resize runs on host worker threads, overlapped with TPU steps.
+
+Caveat vs the reference: padded all-zero images DO enter BatchNorm's training
+batch statistics (the reference trains on a genuinely smaller final batch).
+The deviation is one batch per epoch and only moves running stats by
+``momentum * pad/B`` of a zero-image moment; pass ``drop_last=True`` to
+remove it entirely (at the cost of skipping the tail samples, like torch's
+``DataLoader(drop_last=True)``).
 """
 
 from __future__ import annotations

@@ -42,6 +42,7 @@ class ASPP(nn.Module):
 
     features: int = 256
     rates: Sequence[int] = (12, 24, 36)
+    dropout_rate: float = 0.5  # torchvision default; 0 for dynamics-parity tests
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -77,7 +78,7 @@ class ASPP(nn.Module):
         y = jnp.concatenate(branches, axis=-1)
         y = nn.relu(bn("project_bn")(Conv2d(f, 1, use_bias=False, dtype=self.dtype,
                                             name="project_conv")(y)))
-        y = nn.Dropout(0.5, deterministic=not train)(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return y
 
 
@@ -88,6 +89,7 @@ class DeepLabV3(nn.Module):
     num_classes: int = 2
     attention: str = "none"
     backbone: str = "resnet50"
+    dropout_rate: float = 0.5
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -96,7 +98,8 @@ class DeepLabV3(nn.Module):
         input_size = x.shape[1:3]
         feats = ResNet50(layers=backbone_layers(self.backbone),
                          dtype=self.dtype, name="backbone")(x, train=train)
-        y = ASPP(dtype=self.dtype, name="aspp")(feats["out"], train=train)
+        y = ASPP(dropout_rate=self.dropout_rate, dtype=self.dtype,
+                 name="aspp")(feats["out"], train=train)
 
         # classifier[1]: Conv3x3(256, 256, pad=1, bias-free)
         y = Conv2d(256, 3, padding=1, use_bias=False, dtype=self.dtype,

@@ -30,6 +30,7 @@ Dtype = Any
 class FCNHead(nn.Module):
     num_classes: int = 2
     inter_features: Optional[int] = None  # default in//4 (2048 -> 512)
+    dropout_rate: float = 0.1  # torchvision default; 0 for dynamics-parity tests
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -40,7 +41,7 @@ class FCNHead(nn.Module):
         y = BatchNorm2d(use_running_average=not train, dtype=self.dtype,
                         name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Dropout(0.1, deterministic=not train)(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return Conv2d(self.num_classes, 1, dtype=self.dtype, name="conv2")(y)
 
 
@@ -52,6 +53,7 @@ class FCN(nn.Module):
     num_classes: int = 2
     attention: str = "none"
     backbone: str = "resnet50"
+    dropout_rate: float = 0.1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -66,7 +68,6 @@ class FCN(nn.Module):
         if self.attention == "spatial":
             y = SpatialAttentionConv(kernel_size=7, dtype=self.dtype,
                                      name="spatial_attention")(y)
-        y = FCNHead(self.num_classes, dtype=self.dtype, name="classifier")(
-            y, train=train
-        )
+        y = FCNHead(self.num_classes, dropout_rate=self.dropout_rate,
+                    dtype=self.dtype, name="classifier")(y, train=train)
         return resize_bilinear(y, input_size)

@@ -209,10 +209,14 @@ class BatchNorm2d(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
+        # Statistics accumulate in at least float32 (bf16 inputs promote);
+        # float64 inputs keep float64 so the whole layer is exact in x64
+        # debugging/parity runs.
+        acc = jnp.promote_types(x.dtype, jnp.float32)
         if ura:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = ra_mean.value.astype(acc), ra_var.value.astype(acc)
         else:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(acc)
             mean = jnp.mean(xf, axis=(0, 1, 2))
             mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
@@ -220,12 +224,13 @@ class BatchNorm2d(nn.Module):
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                sdt = ra_mean.value.dtype  # keep the stats tree's dtype
+                ra_mean.value = ((1.0 - m) * ra_mean.value + m * mean).astype(sdt)
+                ra_var.value = ((1.0 - m) * ra_var.value + m * unbiased).astype(sdt)
 
         dtype = self.dtype or x.dtype
-        inv = lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        inv = lax.rsqrt(var + self.eps) * scale.astype(acc)
+        y = (x.astype(acc) - mean) * inv + bias.astype(acc)
         return y.astype(dtype)
 
 
@@ -255,7 +260,7 @@ class Dense(nn.Module):
             bias = self.param(
                 "bias", torch_uniform_init(bound), (self.features,), self.param_dtype
             )
-            y = y + _promote(bias, self.dtype)
+            y = y + _promote(bias, cdt)
         return y
 
 

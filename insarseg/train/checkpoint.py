@@ -13,6 +13,7 @@ optimizer state (SURVEY.md §5). Here:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -44,6 +45,18 @@ class Checkpointer:
         }
         self._ckptr.save(self.best_path, tree, force=True)
         self._ckptr.wait_until_finished()
+        # tiny sidecar so resume can continue best-mIoU tracking without
+        # restoring the whole tree
+        with open(os.path.join(self.directory, "best_miou.json"), "w") as f:
+            json.dump({"miou": float(miou)}, f)
+
+    def best_metric(self) -> float:
+        """Best val-mIoU recorded so far, or -1.0 if none (used by resume)."""
+        p = os.path.join(self.directory, "best_miou.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return float(json.load(f)["miou"])
+        return -1.0
 
     def save_latest(self, state) -> None:
         tree = {

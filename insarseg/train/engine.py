@@ -129,40 +129,42 @@ def make_eval_step(model, num_classes: int, ignore_index: int = 255,
 
 class _Averager:
     """Reference-parity metric averaging: per-batch metrics weighted by real
-    batch size (SURVEY.md §2.2.20); or global-confusion accumulation."""
+    batch size (SURVEY.md §2.2.20); or global-confusion accumulation.
+
+    Host-sync free during the epoch: ``update`` only *stores* the step's tiny
+    device count vectors (the reference round-trips logits to CPU every step,
+    /root/reference/Unet.py:274; a per-step ``float()`` here would reintroduce
+    that on the ~30 ms-dispatch axon tunnel). Everything is reduced in one
+    vectorized pass at ``result``, once per epoch."""
 
     def __init__(self, version: int, mode: str):
         self.version = version
         self.mode = mode
-        self.loss_sum = 0.0
-        self.n = 0
-        self.metric_sums: Dict[str, float] = {}
-        self.global_counts = None
+        self._outs: List[Dict[str, jnp.ndarray]] = []
+        self._weights: List[int] = []
+
+    _KEYS = ("loss", "tp", "fp", "fn", "correct", "valid")
 
     def update(self, out: Dict[str, jnp.ndarray], n_valid: int):
-        self.loss_sum += float(out["loss"]) * n_valid
-        self.n += n_valid
-        counts = {k: out[k] for k in ("tp", "fp", "fn", "correct", "valid")}
-        if self.mode == "batch_mean":
-            m = M.compute(counts, self.version)
-            for k, v in m.items():
-                self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v) * n_valid
-        else:
-            counts = jax.tree.map(lambda a: jnp.asarray(a), counts)
-            self.global_counts = (
-                counts
-                if self.global_counts is None
-                else M.merge_counts(self.global_counts, counts)
-            )
+        self._outs.append({k: out[k] for k in self._KEYS})
+        self._weights.append(int(n_valid))
 
     def result(self, prefix: str) -> Dict[str, float]:
-        n = max(self.n, 1)
-        res = {f"{prefix}_loss": self.loss_sum / n}
+        n = max(sum(self._weights), 1)
+        if not self._outs:
+            return {f"{prefix}_loss": 0.0}
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self._outs)
+        w = jnp.asarray(self._weights, jnp.float32)
+        counts = {k: stacked[k] for k in ("tp", "fp", "fn", "correct", "valid")}
+        res = {f"{prefix}_loss": float(jnp.sum(stacked["loss"] * w)) / n}
         if self.mode == "batch_mean":
-            for k, v in self.metric_sums.items():
-                res[f"{prefix}_{k}"] = v / n
+            # per-batch metrics (vmap over the step axis), batch-size weighted
+            m = jax.vmap(lambda c: M.compute(c, self.version))(counts)
+            for k, v in m.items():
+                res[f"{prefix}_{k}"] = float(jnp.sum(v * w)) / n
         else:
-            m = M.compute(self.global_counts, self.version)
+            m = M.compute(jax.tree.map(lambda a: jnp.sum(a, 0), counts),
+                          self.version)
             for k, v in m.items():
                 res[f"{prefix}_{k}"] = float(v)
         return res
@@ -195,9 +197,17 @@ def fit(
     state: Optional[TrainState] = None,
     checkpointer=None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> List[Dict[str, Any]]:
     """Full training run. Returns the history list with the reference's JSON
     key contract: epoch, train_loss/acc/miou(/mpa/mf1), val_* (SURVEY.md §5).
+
+    ``resume=True`` restores the latest full TrainState (params, optimizer,
+    BN stats, step) from ``checkpointer`` when one exists and continues the
+    epoch count from where the crashed run stopped — the reference can't do
+    this (save-only, no ``load_state_dict`` anywhere, SURVEY.md §5). The
+    returned history covers only the resumed epochs; callers merge with the
+    previously-saved history file.
 
     Multi-chip: when more than one device is visible (or Config.mesh_* is
     set), the batch is sharded over a ('data', 'spatial') ICI mesh and the
@@ -228,11 +238,26 @@ def fit(
 
     if state is None:
         rng, init_rng = jax.random.split(rng)
-        state = create_state(
-            model, init_rng, jnp.asarray(first["image"]), cfg.learning_rate
-        )
+        sample = jnp.asarray(first["image"])
+        if sample.dtype == jnp.uint8:
+            # raw-u8 loaders ship uint8; init must see the float the jitted
+            # step will produce (normalize_u8 runs inside make_train_step)
+            sample = normalize_u8(sample, cfg.normalize_mean, cfg.normalize_std)
+        state = create_state(model, init_rng, sample, cfg.learning_rate)
+    start_epoch = 0
+    best_miou = -1.0
+    if resume and checkpointer is not None and checkpointer.has_latest():
+        # restore BEFORE mesh replication: restored arrays are unsharded
+        state = checkpointer.restore_latest(state)
+        steps_per_epoch = max(len(train_loader), 1)
+        start_epoch = min(int(state.step) // steps_per_epoch, cfg.num_epochs)
+        best_miou = checkpointer.best_metric()
+        if verbose:
+            print(f"resumed from step {int(state.step)} "
+                  f"(epoch {start_epoch}, best val mIoU {best_miou:.4f})")
     if mesh is not None:
         state = state.replace(
+            step=replicate(state.step, mesh),
             params=replicate(state.params, mesh),
             batch_stats=replicate(state.batch_stats, mesh),
             opt_state=replicate(state.opt_state, mesh),
@@ -245,11 +270,14 @@ def fit(
     eval_step = make_eval_step(model, cfg.num_classes, cfg.ignore_index,
                                normalize=norm)
 
-    best_miou = -1.0
     history: List[Dict[str, Any]] = []
     t_start = time.time()
 
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
+        if hasattr(train_loader, "set_epoch"):
+            # deterministic shuffle order = f(seed, epoch): resumed runs see
+            # the same batches the crashed run would have
+            train_loader.set_epoch(epoch)
         avg = _Averager(cfg.metrics_version, cfg.metrics_mode)
         for i, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)

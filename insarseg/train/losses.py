@@ -27,7 +27,10 @@ def cross_entropy_loss(
     """
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # at least f32 (bf16 logits promote); f64 stays f64 for x64 parity runs
+    logp = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    )
     ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     num = jnp.sum(jnp.where(valid, -ll, 0.0))
     den = jnp.maximum(jnp.sum(valid), 1)

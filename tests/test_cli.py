@@ -64,8 +64,62 @@ def test_cli_train_missing_dataset(workdir, capsys):
     assert "dataset not found" in capsys.readouterr().err
 
 
-def test_cli_export_torch_non_unet_rejected(workdir):
+def test_cli_export_torch_deeplab_roundtrip(workdir):
+    """export-torch for the torchvision families: export a fresh deeplabv3
+    init, reimport it, and check the two eval losses are bit-identical."""
     os.chdir(workdir)
-    rc = cli_main(["export-torch", "--preset", "deeplabv3", "--image-size",
+    args = ["--preset", "deeplabv3", "--image-size", "32", "--batch-size", "4",
+            "--seed", "7"]
+    rc = cli_main(["export-torch", *args, "--output", "dl.pth"])
+    assert rc == 0 and os.path.exists("dl.pth")
+
+    import io
+    from contextlib import redirect_stdout
+
+    def eval_loss(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(["eval", *args, "--voc-root", "voc",
+                           "--split", "val", *extra])
+        assert rc == 0
+        out = buf.getvalue()
+        return out[out.index("val_loss") :]
+
+    # fresh init with the same seed == the exported weights
+    assert eval_loss([]) == eval_loss(["--torch-checkpoint", "dl.pth"])
+
+
+def test_cli_export_torch_pspnet_rejected(workdir):
+    os.chdir(workdir)
+    rc = cli_main(["export-torch", "--model", "pspnet", "--image-size",
                    "32", "--output", "x.pth"])
     assert rc == 2
+
+
+def test_cli_train_resume(workdir):
+    """Interrupt/resume: 1 epoch saved, then --resume continues to 3 epochs
+    and the merged history has all three."""
+    os.chdir(workdir)
+    import json
+
+    common = [*BASE, "--voc-root", "voc", "--model-save-path", "rck/m",
+              "--metrics-save-path", "rhist.json"]
+    rc = cli_main(["train", *common, "--num-epochs", "1"])
+    assert rc == 0
+    rc = cli_main(["train", *common, "--num-epochs", "3", "--resume"])
+    assert rc == 0
+    hist = json.load(open("rhist.json"))
+    assert [h["epoch"] for h in hist] == [1, 2, 3]
+    # resuming a finished run is a no-op that keeps the history intact
+    rc = cli_main(["train", *common, "--num-epochs", "3", "--resume"])
+    assert rc == 0
+    assert [h["epoch"] for h in json.load(open("rhist.json"))] == [1, 2, 3]
+
+
+def test_cli_train_raw_u8(workdir):
+    """--raw-u8 ships uint8 tiles; init + train must work from scratch."""
+    os.chdir(workdir)
+    rc = cli_main(["train", *BASE, "--voc-root", "voc", "--num-epochs", "1",
+                   "--raw-u8", "--model-save-path", "u8ck/m",
+                   "--metrics-save-path", "u8hist.json"])
+    assert rc == 0 and os.path.exists("u8hist.json")

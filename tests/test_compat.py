@@ -7,6 +7,7 @@ import pytest
 
 from insarseg.compat import (
     segmentation_variables_from_torch,
+    segmentation_variables_to_torch,
     unet_variables_from_torch,
     unet_variables_to_torch,
 )
@@ -114,5 +115,27 @@ def test_segmentation_from_torchvision_naming(model, attention):
     m = cls(num_classes=2, attention=attention)
     v = m.init(jax.random.key(3), jnp.zeros((1, 16, 16, 1)))
     sd = _fake_torchvision_sd(v, model, attention)
+    back = segmentation_variables_from_torch(sd, model, attention)
+    _tree_equal({"params": v["params"], "batch_stats": v["batch_stats"]}, back)
+
+
+@pytest.mark.parametrize(
+    "model,attention",
+    [("deeplabv3", "none"), ("deeplabv3", "channel"), ("deeplabv3", "spatial"),
+     ("fcn", "none"), ("fcn", "channel"), ("fcn", "spatial")],
+)
+def test_segmentation_export_matches_independent_inverse(model, attention):
+    """The exporter must produce the torchvision-naming state_dict that the
+    independently-written `_fake_torchvision_sd` produces, and round-trip."""
+    cls = DeepLabV3 if model == "deeplabv3" else FCN
+    m = cls(num_classes=2, attention=attention)
+    v = m.init(jax.random.key(5), jnp.zeros((1, 16, 16, 1)))
+    sd = segmentation_variables_to_torch(v, model, attention)
+    golden = _fake_torchvision_sd(v, model, attention)
+    # exporter adds torch's num_batches_tracked bookkeeping keys
+    extras = {k for k in sd if k.endswith("num_batches_tracked")}
+    assert set(sd) - extras == set(golden)
+    for k in golden:
+        np.testing.assert_array_equal(sd[k], golden[k], err_msg=k)
     back = segmentation_variables_from_torch(sd, model, attention)
     _tree_equal({"params": v["params"], "batch_stats": v["batch_stats"]}, back)

@@ -8,6 +8,7 @@ from insarseg.data.native_loader import (
     NativeVOCSegDataset,
     PrefetchLoader,
     lib,
+    normalize_batch_host,
     stitch_accumulate_host,
 )
 from insarseg.data.synthetic import make_synthetic_voc
@@ -34,6 +35,16 @@ def test_native_dataset_matches_python(voc_root, contract):
         np.testing.assert_allclose(xn, xi, atol=1e-6)
         np.testing.assert_array_equal(mn, mi)
         assert xn.dtype == np.float32 and mn.dtype == np.int32
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_normalize_batch_host_matches_numpy(threads):
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (5, 24, 24, 1), dtype=np.uint8)
+    got = normalize_batch_host(u8, mean=0.4, std=0.25, n_threads=threads)
+    want = ((u8.astype(np.float32) / 255.0) - 0.4) / 0.25
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.dtype == np.float32
 
 
 def test_prefetch_loader_matches_serial(voc_root):

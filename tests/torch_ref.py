@@ -17,7 +17,10 @@ import torch.nn.functional as F
 def t(x) -> torch.Tensor:
     if isinstance(x, torch.Tensor):
         return x  # pass through live (possibly grad-tracking) tensors
-    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+    a = np.asarray(x)
+    if a.dtype != np.float64:  # preserve f64 (x64 parity runs); else f32
+        a = a.astype(np.float32)
+    return torch.from_numpy(a)
 
 
 def conv2d(x, p, stride=1, padding=0, dilation=1, groups=1):
@@ -39,7 +42,14 @@ def linear(x, p):
 
 
 def batch_norm(x, p, s, training=False, momentum=0.1, eps=1e-5):
-    rm, rv = t(s["mean"]).clone(), t(s["var"]).clone()
+    # When the stats tree holds LIVE torch tensors (training-dynamics parity
+    # tests build one with _to_torch_tree), F.batch_norm's in-place running-
+    # stat update persists in the tree — exactly nn.BatchNorm2d's behavior.
+    # Numpy/jax-backed trees get a fresh clone (logit-parity tests, no
+    # mutation of the caller's arrays).
+    rm, rv = t(s["mean"]), t(s["var"])
+    if not isinstance(s["mean"], torch.Tensor):
+        rm, rv = rm.clone(), rv.clone()
     y = F.batch_norm(x, rm, rv, t(p["scale"]), t(p["bias"]),
                      training=training, momentum=momentum, eps=eps)
     return y, rm, rv
