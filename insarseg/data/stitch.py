@@ -77,22 +77,33 @@ def stitch_tiles(
     out_hw: Tuple[int, int],
     window: str = "hann",
 ) -> jnp.ndarray:
-    """(N, tile, tile, C) -> (H, W, C) weighted overlap-add."""
+    """(N, tile, tile, C) -> (H, W, C) weighted overlap-add.
+
+    Implemented as one ``lax.scan`` over the tile axis (a read-modify-write
+    ``dynamic_update_slice`` per step, executed in place on the carried
+    accumulator), so the program is compile-flat: a 289-tile 8192^2 grid
+    compiles the same loop body as a 3x3 grid, instead of 289 unrolled
+    update pairs.
+    """
     n, t, _, c = tiles.shape
     assert n == len(coords)
     w = jnp.asarray(_window(t, window))[:, :, None]
-    acc = jnp.zeros(out_hw + (c,), jnp.float32)
-    den = jnp.zeros(out_hw + (1,), jnp.float32)
-    for i, (r, cc) in enumerate(coords):
-        patch = tiles[i].astype(jnp.float32) * w
-        acc = jax.lax.dynamic_update_slice(
-            acc, jax.lax.dynamic_slice(acc, (r, cc, 0), (t, t, c)) + patch,
-            (r, cc, 0),
-        )
-        den = jax.lax.dynamic_update_slice(
-            den, jax.lax.dynamic_slice(den, (r, cc, 0), (t, t, 1)) + w,
-            (r, cc, 0),
-        )
+    coords_rc = jnp.asarray(list(coords), jnp.int32)
+    acc0 = jnp.zeros(out_hw + (c,), jnp.float32)
+    den0 = jnp.zeros(out_hw + (1,), jnp.float32)
+
+    def step(carry, inp):
+        acc, den = carry
+        tile_i, rc = inp
+        r, cc = rc[0], rc[1]
+        patch = tile_i.astype(jnp.float32) * w
+        cur = jax.lax.dynamic_slice(acc, (r, cc, 0), (t, t, c))
+        acc = jax.lax.dynamic_update_slice(acc, cur + patch, (r, cc, 0))
+        curd = jax.lax.dynamic_slice(den, (r, cc, 0), (t, t, 1))
+        den = jax.lax.dynamic_update_slice(den, curd + w, (r, cc, 0))
+        return (acc, den), None
+
+    (acc, den), _ = jax.lax.scan(step, (acc0, den0), (tiles, coords_rc))
     return (acc / den).astype(tiles.dtype)
 
 
@@ -123,6 +134,16 @@ def sliding_window_inference(
     ph, pw = scene.shape[:2]
     coords = plan_tiles(ph, pw, tile, overlap)
     tiles = extract_tiles(scene, coords, tile)
+    logits = _chunked_forward(apply_fn, tiles, batch_size)
+    out = stitch_tiles(logits, coords, (ph, pw), window)
+    return out[:h, :w] if (pad_h or pad_w) else out
+
+
+def _chunked_forward(
+    apply_fn: Callable, tiles: jnp.ndarray, batch_size: Optional[int]
+) -> jnp.ndarray:
+    """Run ``apply_fn`` over the tile batch in fixed-size chunks (the tail
+    chunk is zero-padded so every call reuses one compiled shape)."""
     n = tiles.shape[0]
     bs = batch_size or n
     outs = []
@@ -135,6 +156,37 @@ def sliding_window_inference(
             outs.append(apply_fn(chunk)[: bs - pad])
         else:
             outs.append(apply_fn(chunk))
-    logits = jnp.concatenate(outs)
-    out = stitch_tiles(logits, coords, (ph, pw), window)
-    return out[:h, :w] if (pad_h or pad_w) else out
+    return jnp.concatenate(outs)
+
+
+def sliding_window_inference_batched(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    scenes: jnp.ndarray,
+    tile: int = 512,
+    overlap: int = 64,
+    window: str = "hann",
+    batch_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Multi-scene sliding-window inference: ``(S, H, W, C_in) ->
+    (S, H, W, C_out)``.
+
+    All scenes share one tile plan, so their tiles are flattened into a
+    single ``(S*N, tile, tile, C)`` batch — one stream of fixed-shape
+    forward calls fills the device regardless of per-scene tile counts —
+    and stitched back per scene with a vmapped overlap-add (the scan in
+    :func:`stitch_tiles` vmaps cleanly because every scene uses the same
+    static coords).
+    """
+    s, h, w, cin = scenes.shape
+    pad_h, pad_w = max(0, tile - h), max(0, tile - w)
+    if pad_h or pad_w:
+        scenes = jnp.pad(scenes, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = scenes.shape[1:3]
+    coords = plan_tiles(ph, pw, tile, overlap)
+    n = len(coords)
+    tiles = jax.vmap(lambda sc: extract_tiles(sc, coords, tile))(scenes)
+    flat = tiles.reshape((s * n,) + tiles.shape[2:])
+    logits = _chunked_forward(apply_fn, flat, batch_size)
+    logits = logits.reshape((s, n) + logits.shape[1:])
+    out = jax.vmap(lambda lg: stitch_tiles(lg, coords, (ph, pw), window))(logits)
+    return out[:, :h, :w] if (pad_h or pad_w) else out

@@ -1,0 +1,107 @@
+"""Scene-scale serving: batched multi-scene sliding window and the
+streaming >RAM pipeline (insarseg/data/serve.py) against the in-RAM
+reference path (insarseg/data/stitch.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insarseg.data.serve import stream_scene_inference
+from insarseg.data.stitch import (
+    sliding_window_inference,
+    sliding_window_inference_batched,
+)
+
+TILE, OVERLAP = 48, 16
+
+
+def apply_fn(x):
+    # deterministic 2-logit "model": shape (B, t, t, 1) -> (B, t, t, 2)
+    return jnp.concatenate([x * 2.0 + 1.0, -x], axis=-1)
+
+
+def _scene(rng, h, w):
+    return rng.standard_normal((h, w, 1)).astype(np.float32)
+
+
+def test_batched_matches_per_scene():
+    rng = np.random.default_rng(0)
+    scenes = np.stack([_scene(rng, 100, 140) for _ in range(3)])
+    batched = sliding_window_inference_batched(
+        apply_fn, jnp.asarray(scenes), tile=TILE, overlap=OVERLAP)
+    for i in range(3):
+        single = sliding_window_inference(
+            apply_fn, jnp.asarray(scenes[i]), tile=TILE, overlap=OVERLAP)
+        np.testing.assert_allclose(batched[i], single, rtol=0, atol=1e-5)
+
+
+def test_batched_sub_tile_scene_pads():
+    rng = np.random.default_rng(1)
+    scenes = jnp.asarray(np.stack([_scene(rng, 30, 70) for _ in range(2)]))
+    out = sliding_window_inference_batched(
+        apply_fn, scenes, tile=TILE, overlap=OVERLAP)
+    assert out.shape == (2, 30, 70, 2)
+
+
+@pytest.mark.parametrize("hw", [(96, 96), (130, 200)])
+def test_stream_matches_in_ram(hw):
+    rng = np.random.default_rng(2)
+    scene = _scene(rng, *hw)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, scene, hw, out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=2, normalize=None)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_memmap_reader_writer(tmp_path):
+    """>RAM usage pattern: scene and output both live in memmapped files;
+    only a rolling band is ever resident."""
+    h, w = 144, 112
+    rng = np.random.default_rng(3)
+    scene = _scene(rng, h, w)
+    src = np.memmap(tmp_path / "scene.f32", np.float32, "w+", shape=(h, w, 1))
+    src[:] = scene
+    src.flush()
+    dst = np.memmap(tmp_path / "out.f32", np.float32, "w+", shape=(h, w, 2))
+    ret = stream_scene_inference(
+        apply_fn, src, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=3, normalize=None, writer=dst)
+    assert ret is None
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    np.testing.assert_allclose(np.asarray(dst), want, rtol=0, atol=1e-5)
+
+
+def test_stream_u8_normalizes_on_host():
+    h, w = 96, 96
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (h, w), np.uint8)
+    normed = ((u8.astype(np.float32) / 255.0) - 0.5) / 0.5
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(normed[..., None]), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, u8, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=4, normalize=(0.5, 0.5))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_callable_reader_band_windows():
+    """Callable reader sees only (r0, nrows) windows — no full-scene array."""
+    h, w = 120, 96
+    rng = np.random.default_rng(5)
+    scene = _scene(rng, h, w)
+    seen = []
+
+    def reader(r0, n):
+        seen.append((r0, n))
+        return scene[r0 : r0 + n]
+
+    got = stream_scene_inference(
+        apply_fn, reader, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=2, normalize=None)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    assert all(n == TILE for _, n in seen) and len(seen) >= 3
