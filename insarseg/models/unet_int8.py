@@ -2,21 +2,29 @@
 
 The v5e MXU runs int8 at ~2x its bf16 rate where the lanes are full
 (measured: conv3x3 256ch@256^2 = 230 TOP/s int8 vs 131 TFLOP/s bf16,
-benchmarks/probe_results.jsonl), and int8 activations halve HBM traffic.
-This module quantizes the H-s2d inference graph (insarseg/models/unet_s2d.py)
-— **not parity-preserving** (the exact bf16/f32 paths stay the default):
+benchmarks/probe_results.jsonl), and int8 activations quarter the HBM
+traffic of f32 intermediates. This module quantizes the H-s2d inference
+graph (insarseg/models/unet_s2d.py) — **not parity-preserving** (the exact
+bf16/f32 paths stay the default):
 
-- all eighteen 3x3 convs (the ~90% of FLOPs) run int8 x int8 -> int32 with
+- all eighteen 3x3 convs (~90% of FLOPs) run int8 x int8 -> int32 with
   symmetric per-output-channel weight scales and per-tensor activation
-  scales; the folded-BN affine, ReLU, and the requantize to the next
-  tensor's scale fuse into one epilogue on the int32 accumulator;
+  scales; the folded-BN affine, ReLU, and the requantize fuse into the
+  conv's output epilogue (the TPU trace shows these compile to single
+  kOutput conv fusions writing s8 at ~380 TOP/s — near peak);
+- SE blocks quantize the conv2 output at a calibrated *pre-SE* scale, pool
+  the squeeze statistics from the int8 codes, and apply excite + requant
+  (or excite + bf16 exit) as ONE elementwise pass. (A first cut kept the
+  pre-SE tensor f32 so SE could read it exactly; the trace showed 4.3 GB
+  f32 materializations + 19.6 ms/iter of standalone requant passes at
+  b64 512^2 — 46% of the step was requantization traffic.);
 - activation scales come from calibration batches (absmax replay of the f32
   graph); each tensor has ONE scale chosen where it is consumed — skip
   tensors are quantized by their producer directly at the scale of the
   concat they enter, so no tensor is rounded twice;
-- SE squeeze/excite (tiny), transposed convs (~5% of FLOPs), and the 1x1
-  head stay bf16; max-pooling runs on the int8 codes directly (monotonic
-  under a positive scale).
+- SE squeeze/excite MLPs (tiny), transposed convs (~5% of FLOPs), and the
+  1x1 head stay bf16; max-pooling runs on the int8 codes directly
+  (monotonic under a positive scale).
 
 Quantization error on trained models is exercised in
 tests/test_unet_int8.py (argmax agreement + bounded logit error on a
@@ -27,7 +35,7 @@ reference equivalent exists).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +47,8 @@ from insarseg.models.unet_s2d import (
     _conv_transpose_k2s2,
     _h_d2s,
     _h_s2d,
-    _tile2,
+    _maxpool_exit_s2d,
+    _up4_s2d,
     pack_unet_s2d,
 )
 
@@ -55,35 +64,29 @@ def _se_scales(pk, pooled):
     return jax.nn.sigmoid(y @ pk["fc2"].astype(y.dtype))
 
 
+def _se_pool(y, s2d: bool):
+    pooled = jnp.mean(y, axis=(1, 2))
+    if s2d:
+        c2 = y.shape[-1]
+        pooled = 0.5 * (pooled[:, : c2 // 2] + pooled[:, c2 // 2 :])
+    return pooled
+
+
+def _se_apply(y, sc, s2d: bool):
+    if s2d:
+        sc = jnp.concatenate([sc, sc], -1)
+    return y * sc[:, None, None, :]
+
+
 def _dc_f32(pk, x, s2d: bool):
+    """f32 replay of one DoubleConv; returns (t1, t2_pre_se, out)."""
     t1 = _conv_affine(x, pk["k1"], pk["s1"], pk["b1"])
-    y = _conv_affine(t1, pk["k2"], pk["s2"], pk["b2"])
+    t2 = _conv_affine(t1, pk["k2"], pk["s2"], pk["b2"])
+    y = t2
     if "fc1" in pk:
-        if s2d:
-            c2 = y.shape[-1]
-            pooled = 0.5 * (jnp.mean(y, axis=(1, 2))[:, : c2 // 2]
-                            + jnp.mean(y, axis=(1, 2))[:, c2 // 2 :])
-            sc = _se_scales(pk, pooled)
-            y = y * jnp.concatenate([sc, sc], -1)[:, None, None, :]
-        else:
-            y = y * _se_scales(pk, jnp.mean(y, axis=(1, 2)))[:, None, None, :]
-    return t1, y
-
-
-def _maxpool_from_s2d(x1s):
-    c2 = x1s.shape[-1]
-    rowmax = jnp.maximum(x1s[..., : c2 // 2], x1s[..., c2 // 2 :])
-    b, rh, w, f = rowmax.shape
-    return rowmax.reshape(b, rh, w // 2, 2, f).max(axis=3)
-
-
-def _up4_shuffle(y, m, bias):
-    z = y @ m.astype(y.dtype)
-    b, h, w, _ = z.shape
-    fo = m.shape[-1] // 4
-    z = z.reshape(b, h, w, 2, 2, fo).transpose(0, 1, 2, 4, 3, 5).reshape(
-        b, h, 2 * w, 2 * fo)
-    return z if bias is None else z + _tile2(bias).astype(z.dtype)
+        sc = _se_scales(pk, _se_pool(t2, s2d))
+        y = _se_apply(t2, sc, s2d)
+    return t1, t2, y
 
 
 def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -96,15 +99,20 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
             else jnp.max(jnp.abs(ts[0]))
         am[name] = m
 
+    def dc(name, x, s2d):
+        t1, t2, y = _dc_f32(pf[name], x, s2d)
+        rec(f"{name}.t1", t1)
+        if "fc1" in pf[name]:
+            rec(f"{name}.pre", t2)
+        return y
+
     x2 = _h_s2d(x)
     rec("in", x2)
-    t1, x1s = _dc_f32(pf["inc"], x2, s2d=True)
-    rec("inc.t1", t1)
+    x1s = dc("inc", x2, True)
     feats = {"l1": x1s}
-    y = _maxpool_from_s2d(x1s)
+    y = _maxpool_exit_s2d(x1s)
     for i in range(1, 5):
-        t1, y = _dc_f32(pf[f"down{i}"], y, s2d=False)
-        rec(f"down{i}.t1", t1)
+        y = dc(f"down{i}", y, False)
         feats[f"l{i + 1}"] = y
         if i < 4:
             y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 2, 2, 1),
@@ -112,14 +120,10 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     for i, skip in ((1, "l4"), (2, "l3"), (3, "l2")):
         z = _conv_transpose_k2s2(y, pf[f"up{i}"]["k"], pf[f"up{i}"]["bias"])
         rec(f"cat{i}", feats[skip], z)
-        t1, y = _dc_f32(pf[f"conv{i}"], jnp.concatenate([feats[skip], z], -1),
-                        s2d=False)
-        rec(f"conv{i}.t1", t1)
-    z = _up4_shuffle(y, pf["up4"]["m"], pf["up4"]["bias"])
+        y = dc(f"conv{i}", jnp.concatenate([feats[skip], z], -1), False)
+    z = _up4_s2d(y, pf["up4"]["k"], pf["up4"]["bias"])
     rec("cat4", feats["l1"], z)
-    t1, y2 = _dc_f32(pf["conv4"], jnp.concatenate([feats["l1"], z], -1),
-                     s2d=True)
-    rec("conv4.t1", t1)
+    dc("conv4", jnp.concatenate([feats["l1"], z], -1), True)
     return am
 
 
@@ -154,13 +158,15 @@ def pack_unet_int8(
     scales = {k: max(v, 1e-12) / _QMAX for k, v in am.items()}
 
     packed: Dict[str, Any] = {"scales": scales}
-    # activation scale of each dc's (input, t1, output) in int8-land
+    # (input scale, t1 scale, output scale-or-None) per DoubleConv; None out
+    # means the block exits to bf16 (decoder convs feed bf16 transposed
+    # convs; the bottom feeds up1).
     dc_io = {
         "inc": ("in", "inc.t1", "cat4"),
         "down1": ("cat4", "down1.t1", "cat3"),
         "down2": ("cat3", "down2.t1", "cat2"),
         "down3": ("cat2", "down3.t1", "cat1"),
-        "down4": ("cat1", "down4.t1", None),  # bottom stays bf16
+        "down4": ("cat1", "down4.t1", None),
         "conv1": ("cat1", "conv1.t1", None),
         "conv2": ("cat2", "conv2.t1", None),
         "conv3": ("cat3", "conv3.t1", None),
@@ -168,10 +174,14 @@ def pack_unet_int8(
     }
     for name, (s_in, s_t1, s_out) in dc_io.items():
         src = pf[name]
+        has_se = "fc1" in src
+        # with SE, conv2 requantizes at the calibrated pre-SE scale and the
+        # excite pass carries the final requant (or the bf16 exit)
+        s_c2_out = f"{name}.pre" if has_se else s_out
         blk: Dict[str, Any] = {}
         for tag, kname, sname, bname, s_src, s_dst in (
             ("c1", "k1", "s1", "b1", s_in, s_t1),
-            ("c2", "k2", "s2", "b2", s_t1, s_out),
+            ("c2", "k2", "s2", "b2", s_t1, s_c2_out),
         ):
             qw = _quant_weight(src[kname])
             mult = scales[s_src] * np.asarray(qw["ws"]) \
@@ -181,14 +191,13 @@ def pack_unet_int8(
                 "q": qw["q"],
                 "mult": jnp.asarray(mult),
                 "off": jnp.asarray(off),
-                # requant divisor (None -> stay float for SE / bf16 exit)
+                # requant divisor (None -> bf16 exit from the conv epilogue)
                 "out_s": None if s_dst is None else scales[s_dst],
             }
-        if "fc1" in src:
+        if has_se:
             blk["fc1"], blk["fc2"] = src["fc1"], src["fc2"]
-            # with SE, c2's requant happens after the SE rescale
-            blk["se_out_s"] = blk["c2"]["out_s"]
-            blk["c2"] = dict(blk["c2"], out_s=None)
+            blk["se_pre_s"] = scales[f"{name}.pre"]
+            blk["se_out_s"] = None if s_out is None else scales[s_out]
         packed[name] = blk
     for i in range(1, 4):
         packed[f"up{i}"] = pf[f"up{i}"]
@@ -204,9 +213,10 @@ def pack_unet_int8(
 # int8 forward
 # ---------------------------------------------------------------------------
 
-def _conv_i8(xq: jnp.ndarray, blk: Dict, se=None) -> jnp.ndarray:
-    """int8 conv + fused dequant/affine/relu epilogue; returns int8 codes
-    when blk['out_s'] is set, else f32."""
+def _conv_i8(xq: jnp.ndarray, blk: Dict) -> jnp.ndarray:
+    """int8 conv + fused dequant/affine/relu(+requant) epilogue; returns int8
+    codes when blk['out_s'] is set, else bf16. Either way the epilogue fuses
+    into the conv's kOutput fusion (verified on the TPU trace)."""
     k = blk["q"]
     kh, kw = k.shape[0], k.shape[1]
     acc = lax.conv_general_dilated(
@@ -218,7 +228,7 @@ def _conv_i8(xq: jnp.ndarray, blk: Dict, se=None) -> jnp.ndarray:
     y = acc.astype(jnp.float32) * blk["mult"] + blk["off"]
     y = jnp.maximum(y, 0.0)
     if blk["out_s"] is None:
-        return y
+        return y.astype(jnp.bfloat16)
     return _requant(y, blk["out_s"])
 
 
@@ -227,20 +237,24 @@ def _requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
 
 
 def _dc_i8(blk: Dict, xq: jnp.ndarray, s2d: bool):
+    """One DoubleConv on int8 codes. Returns s8 codes at the block's output
+    scale, or bf16 when the block exits the int8 domain."""
     t1 = _conv_i8(xq, blk["c1"])
-    y = _conv_i8(t1, blk["c2"])
-    if "fc1" in blk:
-        if s2d:
-            c2 = y.shape[-1]
-            pooled = 0.5 * (jnp.mean(y, axis=(1, 2))[:, : c2 // 2]
-                            + jnp.mean(y, axis=(1, 2))[:, c2 // 2 :])
-            sc = _se_scales(blk, pooled)
-            y = y * jnp.concatenate([sc, sc], -1)[:, None, None, :]
-        else:
-            y = y * _se_scales(blk, jnp.mean(y, axis=(1, 2)))[:, None, None, :]
-        if blk["se_out_s"] is not None:
-            y = _requant(y, blk["se_out_s"])
-    return y
+    yq = _conv_i8(t1, blk["c2"])
+    if "fc1" not in blk:
+        return yq
+    # squeeze from the codes (reads s8, not a materialized f32 tensor)
+    pooled = _se_pool(yq.astype(jnp.float32), s2d) * blk["se_pre_s"]
+    sc = _se_scales(blk, pooled)
+    if s2d:
+        sc = jnp.concatenate([sc, sc], -1)
+    if blk["se_out_s"] is None:  # excite + bf16 exit, one pass
+        gain = (sc * blk["se_pre_s"]).astype(jnp.bfloat16)
+        return yq.astype(jnp.bfloat16) * gain[:, None, None, :]
+    # excite + requant, one pass
+    gain = sc * (blk["se_pre_s"] / blk["se_out_s"])
+    y = yq.astype(jnp.float32) * gain[:, None, None, :]
+    return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
 
 
 def _maxpool_i8(yq: jnp.ndarray) -> jnp.ndarray:
@@ -254,12 +268,8 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     nc = packed["outc"]["nc"]
     x2 = _h_s2d(x.astype(jnp.float32))
     xq = _requant(x2, packed["in_s"])
-    x1s = _dc_i8(packed["inc"], xq, s2d=True)  # int8 @ cat4 scale
-
-    c2 = x1s.shape[-1]
-    rowmax = jnp.maximum(x1s[..., : c2 // 2], x1s[..., c2 // 2 :])
-    b, rh, w, f = rowmax.shape
-    y = rowmax.reshape(b, rh, w // 2, 2, f).max(axis=3)
+    x1s = _dc_i8(packed["inc"], xq, s2d=True)  # s8 @ cat4 scale
+    y = _maxpool_exit_s2d(x1s)
 
     skips = {}
     for i in range(1, 5):
@@ -267,8 +277,7 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         skips[f"l{i + 1}"] = y
         if i < 4:
             y = _maxpool_i8(y)
-    # bottom y is f32 (down4 has no out_s)
-    y = y.astype(jnp.bfloat16)
+    # bottom y is bf16 (down4 exits the int8 domain for the decoder)
 
     for i, skip in ((1, "l4"), (2, "l3"), (3, "l2")):
         up = packed[f"up{i}"]
@@ -276,13 +285,12 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         zq = _requant(z.astype(jnp.float32), up["cat_s"])
         # skip is int8 at this same concat scale by construction
         y = _dc_i8(packed[f"conv{i}"], jnp.concatenate([skips[skip], zq], -1),
-                   s2d=False).astype(jnp.bfloat16)
+                   s2d=False)
 
-    z = _up4_shuffle(y, packed["up4"]["m"], packed["up4"]["bias"])
+    z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"])
     zq = _requant(z.astype(jnp.float32), packed["up4"]["cat_s"])
     y2 = _dc_i8(packed["conv4"], jnp.concatenate([x1s, zq], -1), s2d=True)
 
-    y2 = y2.astype(jnp.bfloat16)
     logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
     if packed["outc"]["bias"] is not None:
         logits2 = logits2 + packed["outc"]["bias"].astype(logits2.dtype)
@@ -292,7 +300,7 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         cls2 = jnp.stack(
             [jnp.argmax(logits2[..., :nc], axis=-1),
              jnp.argmax(logits2[..., nc:], axis=-1)], axis=2
-        ).astype(jnp.int32)
+        ).astype(jnp.int32)  # (B, H/2, 2, W)
         return cls2.reshape(b2, 2 * rh2, w2)
     return _h_d2s(logits2, nc)
 
