@@ -1,0 +1,136 @@
+"""Capture and analyze jax.profiler device traces of serving programs.
+
+The per-op tables in BASELINE.md ("Speed of light...") were produced with
+this tool on the attached TPU v5e. Usage (run from /tmp so the test
+conftest doesn't force the CPU backend):
+
+    PYTHONPATH=/root/repo:/root/.axon_site python -m benchmarks.trace_tools \
+        --graph std|s2d|int8 [--batch 64] [--tile 512]
+
+It jits the requested U-Net-CA serving graph, traces 3 iterations, joins
+the trace's per-fusion durations with the compiled HLO's op_name/source
+metadata, and prints a ms/iter table. Works on any backend that supports
+jax.profiler (the axon tunnel does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+import tempfile
+
+
+def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
+    """Join trace fusion durations with HLO metadata -> printed table."""
+    info = {}
+    pat = re.compile(
+        r"^\s+%([\w.\-]+) = (\S+) "
+        r"(?:fusion|copy|reduce|convolution|reduce-window)\((.*)$",
+        re.M,
+    )
+    for m in pat.finditer(hlo_text):
+        name, shape, rest = m.groups()
+        om = re.search(r'op_name="([^"]*)"', rest)
+        sf = re.search(r'source_file="([^"]*)"', rest)
+        sl = re.search(r"source_line=(\d+)", rest)
+        src = (sf.group(1).split("/")[-1] + ":" + sl.group(1)) if sf and sl else ""
+        op = (om.group(1) if om else "?").split(")/")[-1]
+        info[name] = (shape[:44], op[:40], src)
+
+    paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    assert paths, f"no trace under {trace_dir}"
+    data = json.load(gzip.open(sorted(paths)[-1]))
+    procs = {
+        e["pid"]: e["args"].get("name")
+        for e in data["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dur = collections.Counter()
+    for e in data["traceEvents"]:
+        if (
+            e.get("ph") == "X"
+            and "dur" in e
+            and str(procs.get(e["pid"], "")).startswith("/device:")
+        ):
+            dur[e["name"]] += e["dur"]
+
+    rows = []
+    for nm, us in dur.most_common():
+        if nm.startswith("jit_"):
+            print(f"TOTAL {us / (1000 * iters):8.2f} ms/iter  {nm[:50]}")
+            continue
+        shape, op, src = info.get(nm, ("?", "?", ""))
+        rows.append((us / (1000 * iters), nm, shape, op, src))
+    for ms, nm, shape, op, src in rows[:40]:
+        print(f"{ms:8.2f} ms  {nm:28s} {shape:44s} {op:40s} {src}")
+    return rows
+
+
+def _build(graph: str, batch: int, tile: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insarseg.models.unet import UNet
+
+    model = UNet(num_classes=2, use_se=True, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, tile, tile, 1)), jnp.float32)
+
+    if graph == "std":
+        from insarseg.parallel import make_predict_fn
+
+        predict = make_predict_fn(model, argmax=True)
+        return (lambda im: predict(variables, im)), x.astype(jnp.bfloat16)
+    if graph == "s2d":
+        from insarseg.models.unet_s2d import make_s2d_predict_fn
+
+        return make_s2d_predict_fn(
+            model, variables, argmax=True, input_dtype=jnp.bfloat16
+        ), x
+    if graph == "int8":
+        from insarseg.models.unet_int8 import make_int8_predict_fn
+
+        calib = [np.asarray(x[:2], np.float32)]
+        return make_int8_predict_fn(variables, calib, argmax=True), x
+    raise SystemExit(f"unknown graph {graph!r}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", default="std", choices=["std", "s2d", "int8"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/insarseg_jax_cache")
+    predict, x = _build(args.graph, args.batch, args.tile)
+
+    def sync(o):
+        return float(jnp.ravel(o.astype(jnp.float32))[0])
+
+    sync(predict(x))  # compile
+    hlo = jax.jit(predict).lower(x).compile().as_text()
+
+    trace_dir = tempfile.mkdtemp(prefix=f"trace_{args.graph}_")
+    jax.profiler.start_trace(trace_dir)
+    out = None
+    for _ in range(args.iters):
+        out = predict(x)
+    sync(out)
+    jax.profiler.stop_trace()
+    print(f"trace: {trace_dir}")
+    analyze(trace_dir, hlo, args.iters)
+
+
+if __name__ == "__main__":
+    main()
