@@ -8,10 +8,12 @@ and reports per-chip throughput; ``vs_baseline`` is the ratio against the
 Two serving paths are measured (see BASELINE.md "Speed of light" for the
 trace-backed physics):
 
-- **exact bf16** (`insarseg.parallel.make_predict_fn`): the parity graph,
-  logits ``<=1e-4`` vs PyTorch. Measured 371 tiles/s/chip — ~61% of the
-  v5e bf16 matmul peak; the 1,250 target is *above* bf16 speed of light
-  for this architecture (404 TFLOP/s needed vs 197 peak).
+- **exact bf16** (`insarseg.models.unet_serve`, single chip; the mesh
+  path falls back to `insarseg.parallel.make_predict_fn`): the parity
+  graph — BN folded, SE gates deferred to their fusible consumers, same
+  math to <=1e-4. Measured 411 tiles/s/chip (the plain module graph does
+  371); the 1,250 target is *above* bf16 speed of light for this
+  architecture (404 TFLOP/s needed vs 197 peak).
 - **int8 s2d** (`insarseg.models.unet_int8`): opt-in post-training-
   quantized H-space-to-depth graph; argmax-exact on every input measured
   but not logit-exact. This is the headline `value`.
@@ -93,8 +95,16 @@ def main() -> None:
 
     # exact bf16 path (mesh-sharded when a slice is attached)
     mesh = make_mesh(data=n_chips) if n_chips > 1 else None
-    predict = make_predict_fn(model, mesh=mesh, argmax=True)
-    vrep = replicate(variables, mesh) if mesh is not None else variables
+    if mesh is None:
+        from insarseg.models.unet_serve import make_serve_predict_fn
+
+        serve = make_serve_predict_fn(model, variables, argmax=True,
+                                      input_dtype=jnp.bfloat16)
+        exact_predict = serve
+    else:
+        predict = make_predict_fn(model, mesh=mesh, argmax=True)
+        vrep = replicate(variables, mesh)
+        exact_predict = lambda im: predict(vrep, im)  # noqa: E731
 
     def batch_bf16(batch):
         images = batch_f32(batch).astype(jnp.bfloat16)
@@ -102,8 +112,9 @@ def main() -> None:
             images = shard_batch({"image": images}, mesh)["image"]
         return images
 
-    # measured sweep (v5e, bf16): b64 290, b128 371 tiles/s/chip; OOM at b160
-    exact = _sweep(lambda im: predict(vrep, im), batch_bf16, (64, 128), n_chips)
+    # measured sweep (v5e, bf16): serve graph b64 318, b128 411 tiles/s/chip
+    # (module graph: 290/371); OOM at b160
+    exact = _sweep(exact_predict, batch_bf16, (64, 128), n_chips)
 
     # int8 s2d serving path (single-chip program; per-chip number)
     int8 = 0.0

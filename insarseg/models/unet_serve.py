@@ -1,0 +1,128 @@
+"""Exact-parity UNet serving graph with deferred SE gates (standard layout).
+
+Same math as ``UNet.apply(train=False)`` — BatchNorm folded into conv
+epilogues and the SE excite multiplies moved to where their results are
+*consumed* — restructurings XLA cannot do itself but that change nothing
+numerically:
+
+- ``maxpool2(x * g) == maxpool2(x) * g`` bit-for-bit for the per-channel
+  sigmoid gate ``g > 0`` (scaling by a positive scalar commutes with max,
+  and rounding is monotone), so the encoder applies the gate to the 4x
+  smaller pooled tensor instead of the full-resolution one;
+- skip tensors are gated at the decoder concat, the bottom at up1's input,
+  and the last block at the 1x1 head's input — all positions where XLA
+  absorbs a (B,1,1,C) broadcast-multiply into the consuming conv/dot's
+  input fusion (verified in the compiled HLO).
+
+Motivation (TPU v5e trace, b64 512^2 bf16, BASELINE.md "Speed of light"):
+the standard graph spends 18.4 ms/iter in standalone SE broadcast-multiply
+fusions — pure HBM round-trips on tensors that are re-read by a fusible
+consumer anyway. Reference graph being served:
+/root/reference/Unet-ChannalAttention.py:100-163.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from insarseg.models.unet_s2d import _conv_affine, _conv_transpose_k2s2, _fold_dc
+from insarseg.ops.layers import max_pool_2d
+
+
+def pack_unet_serve(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """UNet {'params','batch_stats'} -> BN-folded serving tree (standard
+    layout; supports the plain and SE variants — the SA variant's spatial
+    gates do not commute with pooling, use ``UNet.apply``)."""
+    p, s = variables["params"], variables["batch_stats"]
+    assert "sa1" not in p, "SA variant: use the standard UNet graph"
+    packed: Dict[str, Any] = {"inc": _fold_dc(p["inc"], s["inc"])}
+    for i in range(1, 5):
+        packed[f"down{i}"] = _fold_dc(p[f"down{i}"], s[f"down{i}"])
+    for i in range(1, 5):
+        packed[f"up{i}"] = {
+            "k": jnp.asarray(p[f"up{i}"]["kernel"]),
+            "bias": jnp.asarray(p[f"up{i}"]["bias"])
+            if "bias" in p[f"up{i}"] else None,
+        }
+        packed[f"conv{i}"] = _fold_dc(p[f"conv{i}"], s[f"conv{i}"])
+    packed["outc"] = {
+        "k": jnp.asarray(p["outc"]["kernel"]),
+        "bias": jnp.asarray(p["outc"]["bias"])
+        if "bias" in p["outc"] else None,
+    }
+    return packed
+
+
+def _dc_gate(pk: Dict, x: jnp.ndarray):
+    """DoubleConv body; returns (pre-gate output, gate-or-None)."""
+    x = _conv_affine(x, pk["k1"], pk["s1"], pk["b1"])
+    x = _conv_affine(x, pk["k2"], pk["s2"], pk["b2"])
+    if "fc1" not in pk:
+        return x, None
+    pooled = jnp.mean(x, axis=(1, 2))
+    g = jnp.maximum(pooled @ pk["fc1"].astype(pooled.dtype), 0)
+    g = jax.nn.sigmoid((g @ pk["fc2"].astype(g.dtype)).astype(jnp.float32))
+    return x, g.astype(x.dtype)[:, None, None, :]
+
+
+def _gated(x: jnp.ndarray, g) -> jnp.ndarray:
+    return x if g is None else x * g
+
+
+def unet_serve_apply(packed: Dict[str, Any], x: jnp.ndarray,
+                     argmax: bool = False) -> jnp.ndarray:
+    """Eval-mode UNet forward, standard layout, deferred SE gates.
+
+    x: (B, H, W, C_in), H and W divisible by 16. Returns logits
+    (B, H, W, nc) or the argmax class map (B, H, W) int32."""
+    feats = {}
+    y, g = _dc_gate(packed["inc"], x)
+    feats["l1"] = (y, g)
+    for i in range(1, 5):
+        y, g_next = _dc_gate(packed[f"down{i}"], _gated(max_pool_2d(y, 2), g))
+        feats[f"l{i + 1}"] = (y, g_next)
+        g = g_next
+
+    y = _gated(y, g)  # bottom enters the decoder gated (fuses into up1)
+    for i, skip in ((1, "l4"), (2, "l3"), (3, "l2"), (4, "l1")):
+        z = _conv_transpose_k2s2(y, packed[f"up{i}"]["k"],
+                                 packed[f"up{i}"]["bias"])
+        sk, gsk = feats[skip]
+        # gate AFTER the concat (pad with ones over the z half): the
+        # multiply's consumer is then the conv itself, which XLA fuses;
+        # gating before the concat materializes a full-resolution multiply
+        # (measured 18.4 ms/iter at b64 512^2).
+        cat = jnp.concatenate([sk, z], axis=-1)
+        if gsk is not None:
+            cat = cat * jnp.concatenate(
+                [gsk, jnp.ones_like(gsk)], axis=-1)
+        y, g = _dc_gate(packed[f"conv{i}"], cat)
+
+    y = _gated(y, g)  # fuses into the 1x1-conv head's input fusion
+    logits = lax.conv_general_dilated(
+        y, packed["outc"]["k"].astype(y.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if packed["outc"]["bias"] is not None:
+        logits = logits + packed["outc"]["bias"].astype(logits.dtype)
+    if argmax:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def make_serve_predict_fn(model, variables, argmax: bool = False,
+                          input_dtype: Optional[Any] = None):
+    """Pack once, return a jitted ``predict(images)`` on the serving graph."""
+    del model  # packing is tree-driven
+    packed = pack_unet_serve(variables)
+
+    @jax.jit
+    def predict(images):
+        if input_dtype is not None:
+            images = images.astype(input_dtype)
+        return unet_serve_apply(packed, images, argmax=argmax)
+
+    return predict

@@ -1,0 +1,69 @@
+"""Exactness of the deferred-SE-gate serving graph
+(insarseg/models/unet_serve.py) against the standard module forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insarseg.models.unet import UNet
+from insarseg.models.unet_serve import (
+    make_serve_predict_fn,
+    pack_unet_serve,
+    unet_serve_apply,
+)
+
+
+def _init(use_se, base_features=16, hw=64, cin=1, seed=0):
+    model = UNet(num_classes=2, base_features=base_features, use_se=use_se)
+    variables = model.init(jax.random.key(seed), jnp.zeros((1, hw, hw, cin)))
+    stats = jax.tree.map(
+        lambda v: v + 0.05 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        if v.ndim else v,
+        variables["batch_stats"],
+    )
+    stats = jax.tree.map(jnp.abs, stats)
+    return model, {"params": variables["params"], "batch_stats": stats}
+
+
+@pytest.mark.parametrize("use_se", [False, True])
+def test_serve_matches_unet(use_se):
+    model, variables = _init(use_se)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    got = unet_serve_apply(pack_unet_serve(variables), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
+def test_serve_argmax_and_jit():
+    model, variables = _init(True)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 1)), jnp.float32)
+    want = jnp.argmax(model.apply(variables, x, train=False), axis=-1)
+    predict = make_serve_predict_fn(model, variables, argmax=True)
+    got = predict(x)
+    assert got.shape == (2, 96, 64) and got.dtype == jnp.int32
+    agree = float(jnp.mean((got == want).astype(jnp.float32)))
+    assert agree > 0.999, agree
+
+
+def test_serve_gate_pool_commutation_exact():
+    """maxpool(x*g) == maxpool(x)*g must hold bit-for-bit in bf16 too."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 16)), jnp.bfloat16)
+    g = jax.nn.sigmoid(jnp.asarray(rng.standard_normal((2, 1, 1, 16)),
+                                   jnp.bfloat16))
+    from insarseg.ops.layers import max_pool_2d
+    a = max_pool_2d((x * g).astype(jnp.bfloat16), 2)
+    b = (max_pool_2d(x, 2) * g).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+
+
+def test_serve_rejects_sa_variant():
+    model = UNet(num_classes=2, base_features=16, use_sa=True)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+    with pytest.raises(AssertionError):
+        pack_unet_serve(variables)
