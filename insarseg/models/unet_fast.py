@@ -12,12 +12,17 @@ executes eval-mode forward with the hand-fused Pallas kernels:
 Numerically equivalent to ``UNet.apply(..., train=False)`` (tested in
 interpret mode on CPU and on TPU, maxdiff ~1e-3 in bf16).
 
-Measured on TPU v5e (batch 16, 512^2, bf16): the XLA path runs 59.9 ms /
-267 tiles/s vs 143 ms for this fused path — XLA's conv emitter wins, so
-``make_predict_fn`` (XLA) remains the default serving path and this module
-is the validated hand-kernel alternative. Per-kernel (8x512^2x64->64):
-XLA 6.0 ms; pallas 10.7 ms serial-DMA, 9.06 ms double-buffered — the
-remaining gap is the unaligned dx tap shifts.
+**RETIRED from the serving surface (round 2)** — kept as a tests-only
+validation artifact for the Pallas kernels (tests/test_pallas.py).
+Final measurements on TPU v5e (batch 16, 512^2, bf16): the XLA path runs
+59.9 ms / 267 tiles/s vs 143 ms for this fused path. Per-kernel
+(8x512^2x64->64): XLA 6.0 ms; pallas 10.7 ms serial-DMA, 9.06 ms
+double-buffered. The round-2 jax.profiler traces (BASELINE.md "Speed of
+light") settled the question: XLA's *in-graph* conv emitters run the hot
+convs at 75-93 TF/s bf16 (far above what the isolated probes suggested),
+so the hand conv kernel cannot win and the fast serving paths went a
+different way — exact deferred-SE graph restructuring (unet_serve.py,
+411 tiles/s/chip) and int8 PTQ (unet_int8.py, 602 tiles/s/chip).
 """
 
 from __future__ import annotations
