@@ -22,7 +22,7 @@ from typing import Dict, Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class Config:
     # -- model --
-    model: str = "unet"  # unet | deeplabv3 | fcn | pspnet
+    model: str = "unet"  # unet | unet-fast | deeplabv3 | fcn | pspnet
     attention: str = "none"  # none | channel | spatial
     num_classes: int = 2
     in_channels: int = 1
@@ -122,6 +122,12 @@ PRESETS: Dict[str, Config] = {
                                   image_size=64, batch_size=128, num_epochs=100,
                                   model_save_path="trained_models/fcn_sa_64_best.ckpt",
                                   metrics_save_path="training_metrics/fcn_sa_64.json"),
+    # Extension (no reference twin): space-to-depth-stem fast variant —
+    # MXU-shaped level 1; see insarseg/models/unet_stem.py.
+    "unet-fast-ca": _p(model="unet-fast", attention="channel",
+                       image_size=128, batch_size=8, num_epochs=25,
+                       model_save_path="trained_models/unet_fast_ca_best.ckpt",
+                       metrics_save_path="training_metrics/unet_fast_ca.json"),
 }
 
 

@@ -37,6 +37,15 @@ def build(
             use_sa=attention == "spatial",
             dtype=dtype,
         )
+    if model in ("unet-fast", "unet_fast"):
+        from insarseg.models.unet_stem import UNetFastS2D
+
+        return UNetFastS2D(
+            num_classes=num_classes,
+            use_se=attention == "channel",
+            use_sa=attention == "spatial",
+            dtype=dtype,
+        )
     if model == "deeplabv3":
         return DeepLabV3(num_classes=num_classes, attention=attention,
                          backbone=backbone, dtype=dtype)
@@ -46,4 +55,5 @@ def build(
     if model == "pspnet":
         return PSPNet(num_classes=num_classes, attention=attention,
                       backbone=backbone, dtype=dtype)
-    raise KeyError(f"unknown model {model!r}; expected unet|deeplabv3|fcn|pspnet")
+    raise KeyError(
+        f"unknown model {model!r}; expected unet|unet-fast|deeplabv3|fcn|pspnet")

@@ -47,22 +47,29 @@ class UNet(nn.Module):
     use_se: bool = False
     use_sa: bool = False
     shape_fix: Optional[bool] = None  # default: True iff use_se (parity)
+    # optional per-level channel plan (5 ints, level 1..5); None keeps the
+    # reference doubling (f, 2f, 4f, 8f, 16f). Used by the opt-in fast
+    # variant to widen level 1 without scaling the deeper levels.
+    features_plan: Optional[Any] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         f = self.base_features
+        plan = tuple(self.features_plan) if self.features_plan is not None \
+            else (f, f * 2, f * 4, f * 8, f * 16)
+        assert len(plan) == 5, plan
         shape_fix = self.use_se if self.shape_fix is None else self.shape_fix
         dc = lambda feats, name: DoubleConv(
             feats, use_se=self.use_se, dtype=self.dtype, name=name
         )
 
         # Encoder
-        x1 = dc(f, "inc")(x, train=train)
-        x2 = dc(f * 2, "down1")(max_pool_2d(x1, 2), train=train)
-        x3 = dc(f * 4, "down2")(max_pool_2d(x2, 2), train=train)
-        x4 = dc(f * 8, "down3")(max_pool_2d(x3, 2), train=train)
-        x5 = dc(f * 16, "down4")(max_pool_2d(x4, 2), train=train)
+        x1 = dc(plan[0], "inc")(x, train=train)
+        x2 = dc(plan[1], "down1")(max_pool_2d(x1, 2), train=train)
+        x3 = dc(plan[2], "down2")(max_pool_2d(x2, 2), train=train)
+        x4 = dc(plan[3], "down3")(max_pool_2d(x3, 2), train=train)
+        x5 = dc(plan[4], "down4")(max_pool_2d(x4, 2), train=train)
 
         # Decoder
         def up_block(y, skip, feats, idx):
@@ -74,10 +81,10 @@ class UNet(nn.Module):
                 y = SpatialAttentionDC(dtype=self.dtype, name=f"sa{idx}")(y, train=train)
             return dc(feats, f"conv{idx}")(y, train=train)
 
-        y = up_block(x5, x4, f * 8, 1)
-        y = up_block(y, x3, f * 4, 2)
-        y = up_block(y, x2, f * 2, 3)
-        y = up_block(y, x1, f, 4)
+        y = up_block(x5, x4, plan[3], 1)
+        y = up_block(y, x3, plan[2], 2)
+        y = up_block(y, x2, plan[1], 3)
+        y = up_block(y, x1, plan[0], 4)
 
         logits = Conv2d(self.num_classes, 1, dtype=self.dtype, name="outc")(y)
         return logits

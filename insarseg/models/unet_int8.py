@@ -49,6 +49,7 @@ from insarseg.models.unet_s2d import (
     _h_s2d,
     _maxpool_exit_s2d,
     _up4_s2d,
+    pack_unet_folded,
     pack_unet_s2d,
 )
 
@@ -89,9 +90,11 @@ def _dc_f32(pk, x, s2d: bool):
     return t1, t2, y
 
 
-def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """One f32 forward of the s2d graph recording the absmax of every tensor
-    that will be int8 (jit-able; returns a dict of scalars)."""
+def _replay_absmax(pf: Dict, x: jnp.ndarray,
+                   s2d: bool = True) -> Dict[str, jnp.ndarray]:
+    """One f32 forward of the serving graph recording the absmax of every
+    tensor that will be int8 (jit-able; returns a dict of scalars).
+    ``s2d=False`` replays the standard-layout folded graph instead."""
     am: Dict[str, jnp.ndarray] = {}
 
     def rec(name, *ts):
@@ -99,18 +102,19 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
             else jnp.max(jnp.abs(ts[0]))
         am[name] = m
 
-    def dc(name, x, s2d):
-        t1, t2, y = _dc_f32(pf[name], x, s2d)
+    def dc(name, x, flag):
+        t1, t2, y = _dc_f32(pf[name], x, flag)
         rec(f"{name}.t1", t1)
         if "fc1" in pf[name]:
             rec(f"{name}.pre", t2)
         return y
 
-    x2 = _h_s2d(x)
+    x2 = _h_s2d(x) if s2d else x
     rec("in", x2)
-    x1s = dc("inc", x2, True)
+    x1s = dc("inc", x2, s2d)
     feats = {"l1": x1s}
-    y = _maxpool_exit_s2d(x1s)
+    y = _maxpool_exit_s2d(x1s) if s2d else lax.reduce_window(
+        x1s, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     for i in range(1, 5):
         y = dc(f"down{i}", y, False)
         feats[f"l{i + 1}"] = y
@@ -121,9 +125,10 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         z = _conv_transpose_k2s2(y, pf[f"up{i}"]["k"], pf[f"up{i}"]["bias"])
         rec(f"cat{i}", feats[skip], z)
         y = dc(f"conv{i}", jnp.concatenate([feats[skip], z], -1), False)
-    z = _up4_s2d(y, pf["up4"]["k"], pf["up4"]["bias"])
+    z = _up4_s2d(y, pf["up4"]["k"], pf["up4"]["bias"]) if s2d else \
+        _conv_transpose_k2s2(y, pf["up4"]["k"], pf["up4"]["bias"])
     rec("cat4", feats["l1"], z)
-    dc("conv4", jnp.concatenate([feats["l1"], z], -1), True)
+    dc("conv4", jnp.concatenate([feats["l1"], z], -1), s2d)
     return am
 
 
@@ -143,13 +148,18 @@ def _quant_weight(k: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 def pack_unet_int8(
     variables: Dict[str, Any],
     calib_batches: List[jnp.ndarray],
+    s2d: bool = True,
 ) -> Dict[str, Any]:
-    """UNet variables + calibration images -> int8 s2d serving tree.
+    """UNet variables + calibration images -> int8 serving tree.
 
     ``calib_batches``: a few representative input batches (B, H, W, C_in)
-    float32 (normalized, as fed to the model)."""
-    pf = pack_unet_s2d(variables)
-    replay = jax.jit(_replay_absmax)
+    float32 (normalized, as fed to the model). ``s2d=False`` quantizes the
+    standard-layout graph — for models whose level 1 already fills the MXU
+    lanes (the space-to-depth fast variant)."""
+    pf = pack_unet_s2d(variables) if s2d else pack_unet_folded(variables)
+    import functools
+
+    replay = jax.jit(functools.partial(_replay_absmax, s2d=s2d))
     am: Dict[str, float] = {}
     for batch in calib_batches:
         cur = jax.device_get(replay(pf, jnp.asarray(batch, jnp.float32)))
@@ -157,7 +167,7 @@ def pack_unet_int8(
             am[k] = max(am.get(k, 0.0), float(v))
     scales = {k: max(v, 1e-12) / _QMAX for k, v in am.items()}
 
-    packed: Dict[str, Any] = {"scales": scales}
+    packed: Dict[str, Any] = {"scales": scales, "s2d": s2d}
     # (input scale, t1 scale, output scale-or-None) per DoubleConv; None out
     # means the block exits to bf16 (decoder convs feed bf16 transposed
     # convs; the bottom feeds up1).
@@ -265,11 +275,12 @@ def _maxpool_i8(yq: jnp.ndarray) -> jnp.ndarray:
 def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
                     argmax: bool = False) -> jnp.ndarray:
     """int8 eval-mode forward. ``x``: (B, H, W, C_in) float (normalized)."""
+    s2d = packed.get("s2d", True)
     nc = packed["outc"]["nc"]
-    x2 = _h_s2d(x.astype(jnp.float32))
+    x2 = _h_s2d(x.astype(jnp.float32)) if s2d else x.astype(jnp.float32)
     xq = _requant(x2, packed["in_s"])
-    x1s = _dc_i8(packed["inc"], xq, s2d=True)  # s8 @ cat4 scale
-    y = _maxpool_exit_s2d(x1s)
+    x1s = _dc_i8(packed["inc"], xq, s2d=s2d)  # s8 @ cat4 scale
+    y = _maxpool_exit_s2d(x1s) if s2d else _maxpool_i8(x1s)
 
     skips = {}
     for i in range(1, 5):
@@ -287,14 +298,19 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         y = _dc_i8(packed[f"conv{i}"], jnp.concatenate([skips[skip], zq], -1),
                    s2d=False)
 
-    z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"])
+    z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"]) if s2d else \
+        _conv_transpose_k2s2(y, packed["up4"]["k"], packed["up4"]["bias"])
     zq = _requant(z.astype(jnp.float32), packed["up4"]["cat_s"])
-    y2 = _dc_i8(packed["conv4"], jnp.concatenate([x1s, zq], -1), s2d=True)
+    y2 = _dc_i8(packed["conv4"], jnp.concatenate([x1s, zq], -1), s2d=s2d)
 
     logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
     if packed["outc"]["bias"] is not None:
         logits2 = logits2 + packed["outc"]["bias"].astype(logits2.dtype)
 
+    if not s2d:
+        if argmax:
+            return jnp.argmax(logits2, axis=-1).astype(jnp.int32)
+        return logits2
     if argmax:
         b2, rh2, w2, _ = logits2.shape
         cls2 = jnp.stack(
@@ -307,9 +323,10 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
 
 def make_int8_predict_fn(variables: Dict[str, Any],
                          calib_batches: List[jnp.ndarray],
-                         argmax: bool = False):
+                         argmax: bool = False,
+                         s2d: bool = True):
     """Calibrate + pack once; return a jitted int8 ``predict(images)``."""
-    packed = pack_unet_int8(variables, calib_batches)
+    packed = pack_unet_int8(variables, calib_batches, s2d=s2d)
 
     @jax.jit
     def predict(images):

@@ -144,6 +144,31 @@ def _s2d_dc(p: Dict, s: Dict, conv1_layout) -> Dict[str, Any]:
     return out
 
 
+def pack_unet_folded(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """UNet {'params','batch_stats'} -> BN-folded tree in the STANDARD
+    layout (no s2d transform anywhere) — the substrate for int8 serving of
+    models whose level 1 already fills the MXU lanes (e.g. the
+    space-to-depth fast variant, insarseg/models/unet_stem.py)."""
+    p, s = variables["params"], variables["batch_stats"]
+    assert "sa1" not in p, "SA variant: use the standard UNet graph"
+    packed: Dict[str, Any] = {"inc": _fold_dc(p["inc"], s["inc"])}
+    for i in range(1, 5):
+        packed[f"down{i}"] = _fold_dc(p[f"down{i}"], s[f"down{i}"])
+    for i in range(1, 5):
+        packed[f"up{i}"] = {
+            "k": jnp.asarray(p[f"up{i}"]["kernel"]),
+            "bias": jnp.asarray(p[f"up{i}"]["bias"])
+            if "bias" in p[f"up{i}"] else None,
+        }
+        packed[f"conv{i}"] = _fold_dc(p[f"conv{i}"], s[f"conv{i}"])
+    wo = np.asarray(p["outc"]["kernel"])[0, 0]  # (f, nc)
+    packed["outc"] = {"k": jnp.asarray(wo),
+                      "bias": jnp.asarray(p["outc"]["bias"])
+                      if "bias" in p["outc"] else None,
+                      "nc": wo.shape[-1]}
+    return packed
+
+
 def pack_unet_s2d(variables: Dict[str, Any]) -> Dict[str, Any]:
     """UNet {'params','batch_stats'} -> folded + L1-s2d-transformed tree.
 
