@@ -16,7 +16,15 @@ trace-backed physics):
   architecture (404 TFLOP/s needed vs 197 peak).
 - **int8 s2d** (`insarseg.models.unet_int8`): opt-in post-training-
   quantized H-space-to-depth graph; argmax-exact on every input measured
-  but not logit-exact. This is the headline `value`.
+  but not logit-exact. This is the headline `value` (same architecture as
+  the reference).
+
+Additionally the **fast variant** (`insarseg.models.unet_stem`,
+space-to-depth stem + widened level 1 — an architecture-altering opt-in
+that must be retrained; designed because the target is above bf16 speed
+of light for the exact architecture) is measured in both precisions and
+reported as `fast_*` fields. Measured: bf16 1008, int8 1623 tiles/s/chip
+— the int8 fast variant exceeds the 1,250/chip target (1.30x).
 
 Synchronization note: on the experimental ``axon`` platform
 ``block_until_ready`` can return before execution finishes, so timing is
@@ -117,7 +125,7 @@ def main() -> None:
     exact = _sweep(exact_predict, batch_bf16, (64, 128), n_chips)
 
     # int8 s2d serving path (single-chip program; per-chip number)
-    int8 = 0.0
+    int8 = fast_bf16 = fast_int8 = 0.0
     if n_chips == 1:
         try:
             calib = [np.asarray(batch_f32(2))]
@@ -126,6 +134,29 @@ def main() -> None:
             int8 = _sweep(pred_i8, batch_f32, (64, 128), 1)
         except Exception as e:
             print(f"int8 path failed: {type(e).__name__}", file=sys.stderr)
+
+        # opt-in fast variant (architecture-altering; both precisions)
+        try:
+            from insarseg.models.unet_stem import (
+                UNetFastS2D,
+                make_fast_int8_predict_fn,
+                make_fast_serve_predict_fn,
+            )
+
+            fmodel = UNetFastS2D(num_classes=2, use_se=True,
+                                 dtype=jnp.bfloat16)
+            fvars = fmodel.init(jax.random.key(0),
+                                jnp.zeros((1, tile, tile, 1)))
+            fserve = make_fast_serve_predict_fn(fmodel, fvars, argmax=True)
+            # measured (v5e): bf16 948/1008, int8 1567/1623 at b64/b128
+            fast_bf16 = _sweep(
+                lambda im: fserve(im),
+                lambda b: batch_f32(b).astype(jnp.bfloat16), (64, 128), 1)
+            fint8 = make_fast_int8_predict_fn(
+                fmodel, fvars, [np.asarray(batch_f32(2))], argmax=True)
+            fast_int8 = _sweep(fint8, batch_f32, (64, 128), 1)
+        except Exception as e:
+            print(f"fast variant failed: {type(e).__name__}", file=sys.stderr)
 
     best = max(exact, int8)
     print(
@@ -137,6 +168,10 @@ def main() -> None:
                 "vs_baseline": round(best / BASELINE_TILES_PER_SEC_PER_CHIP, 4),
                 "exact_bf16": round(exact, 2),
                 "int8_s2d": round(int8, 2),
+                "fast_variant_bf16": round(fast_bf16, 2),
+                "fast_variant_int8": round(fast_int8, 2),
+                "fast_variant_vs_baseline": round(
+                    fast_int8 / BASELINE_TILES_PER_SEC_PER_CHIP, 4),
             }
         )
     )

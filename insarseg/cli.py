@@ -144,9 +144,50 @@ def cmd_predict(args) -> int:
     variables = _load_variables(args, cfg, model)
     n = len(jax.devices())
     mesh = make_mesh(data=n) if n > 1 else None
-    predict = make_predict_fn(model, mesh=mesh)
-    if mesh is not None:
-        variables = replicate(variables, mesh)
+
+    engine_name = getattr(args, "engine", "module") or "module"
+    if engine_name != "module" and (cfg.model not in ("unet", "unet-fast")
+                                    or cfg.attention == "spatial"):
+        raise SystemExit(
+            "--engine serve/int8 currently supports the UNet family with "
+            "none/channel attention; use --engine module")
+    if engine_name != "module":
+        mesh = None  # single-program engines run on the default device
+
+    def _scene_calib():
+        from insarseg.data.stitch import extract_tiles, plan_tiles
+
+        h, w = scene.shape[:2]
+        pos = plan_tiles(max(h, args.tile), max(w, args.tile), args.tile,
+                         args.overlap)[:4]
+        pad_h, pad_w = max(0, args.tile - h), max(0, args.tile - w)
+        padded = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
+        return [np.asarray(extract_tiles(padded, pos, args.tile))]
+
+    if engine_name == "serve":
+        if cfg.model == "unet-fast":
+            from insarseg.models.unet_stem import make_fast_serve_predict_fn
+
+            serve = make_fast_serve_predict_fn(model, variables)
+        else:
+            from insarseg.models.unet_serve import make_serve_predict_fn
+
+            serve = make_serve_predict_fn(model, variables)
+        predict = lambda _v, t: serve(t)  # noqa: E731
+    elif engine_name == "int8":
+        if cfg.model == "unet-fast":
+            from insarseg.models.unet_stem import make_fast_int8_predict_fn
+
+            int8 = make_fast_int8_predict_fn(model, variables, _scene_calib())
+        else:
+            from insarseg.models.unet_int8 import make_int8_predict_fn
+
+            int8 = make_int8_predict_fn(variables, _scene_calib())
+        predict = lambda _v, t: int8(t)  # noqa: E731
+    else:
+        predict = make_predict_fn(model, mesh=mesh)
+        if mesh is not None:
+            variables = replicate(variables, mesh)
 
     tile_batch = args.tile_batch
     if mesh is not None:
@@ -278,6 +319,12 @@ def main(argv=None) -> int:
             p.add_argument("--tile", type=int, default=512)
             p.add_argument("--overlap", type=int, default=64)
             p.add_argument("--tile-batch", type=int, default=None)
+            p.add_argument("--engine", default="module",
+                           choices=["module", "serve", "int8"],
+                           help="inference engine: 'module' (parity graph, "
+                                "any model/mesh), 'serve' (deferred-SE exact "
+                                "graph, UNet), 'int8' (PTQ, self-calibrated "
+                                "on the scene, UNet; argmax-exact measured)")
         if name == "export-torch":
             p.add_argument("--output", required=True)
         p.set_defaults(fn=fn)

@@ -57,6 +57,27 @@ def test_cli_predict(workdir):
     assert Image.open("pred.png").size == (48, 48)
 
 
+@pytest.mark.parametrize("engine", ["serve", "int8"])
+def test_cli_predict_fast_engines(workdir, engine):
+    """predict --engine serve/int8 — UNet-CA, self-calibrated for int8."""
+    os.chdir(workdir)
+    base = ["--preset", "unet-channelattention", "--image-size", "32", "--batch-size", "4"]
+    rc = cli_main(["predict", *base, "--input", "scene.png", "--tile", "32",
+                   "--overlap", "8", "--engine", engine,
+                   "--output", f"pred_{engine}.png"])
+    assert rc == 0
+    from PIL import Image
+
+    assert Image.open(f"pred_{engine}.png").size == (48, 48)
+
+
+def test_cli_predict_engine_rejected_for_resnet_families(workdir):
+    os.chdir(workdir)
+    with pytest.raises(SystemExit):
+        cli_main(["predict", "--preset", "deeplabv3", "--image-size", "32",
+                  "--input", "scene.png", "--tile", "32", "--engine", "serve"])
+
+
 def test_cli_train_missing_dataset(workdir, capsys):
     os.chdir(workdir)
     rc = cli_main(["train", *BASE, "--voc-root", "/nonexistent"])
@@ -123,3 +144,18 @@ def test_cli_train_raw_u8(workdir):
                    "--raw-u8", "--model-save-path", "u8ck/m",
                    "--metrics-save-path", "u8hist.json"])
     assert rc == 0 and os.path.exists("u8hist.json")
+
+
+def test_cli_predict_unet_fast_variant(workdir):
+    """The space-to-depth fast variant runs through predict with both the
+    module engine and the int8 engine."""
+    os.chdir(workdir)
+    base = ["--preset", "unet-fast-ca", "--image-size", "32"]
+    for extra, out in ((["--engine", "int8"], "pred_fast8.png"),
+                       ([], "pred_fast.png")):
+        rc = cli_main(["predict", *base, "--input", "scene.png", "--tile",
+                       "32", "--overlap", "8", *extra, "--output", out])
+        assert rc == 0
+    from PIL import Image
+
+    assert Image.open("pred_fast8.png").size == (48, 48)
