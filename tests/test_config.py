@@ -8,7 +8,10 @@ from insarseg.config import PRESETS, get_preset
 
 
 def test_nine_presets_exist():
-    assert len(PRESETS) == 9
+    # 9 reference-script presets + the unet-fast-ca extension
+    reference = [k for k in PRESETS if not k.startswith("unet-fast")]
+    assert len(reference) == 9
+    assert "unet-fast-ca" in PRESETS
 
 
 def test_preset_grid_divergences():
