@@ -1,7 +1,9 @@
-"""Inference throughput sweep over every model family.
+"""Inference throughput sweep over every model family and engine.
 
-Measures bf16 inference tiles/sec/chip for each (model, attention) cell at
-the given tile size, one JSON line per cell.
+Measures inference tiles/sec/chip for each (model, attention) cell at the
+given tile size under every supported engine (module = parity bf16 graph,
+serve = BN-folded exact graph, int8 = PTQ) — one JSON line per
+(cell, engine).
 
 Usage: python benchmarks/model_sweep.py [tile_px] [batch] [cells...]
 Default cells: one per architecture family at the reference's attention
@@ -49,33 +51,39 @@ def main() -> None:
         rng.standard_normal((batch, tile, tile, 1)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
+    from insarseg.engines import make_engine, supported
+
+    calib = [np.asarray(x[: min(8, batch)], np.float32)]
     for model_name, attention in cells:
         model = build(model_name, attention, dtype=jnp.bfloat16)
         variables = model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
-        predict = jax.jit(
-            lambda v, xx, m=model: jnp.argmax(
-                m.apply(v, xx, train=False), -1
-            ).astype(jnp.int32)
-        )
-        try:
-            sync(predict(variables, x))
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                y = predict(variables, x)
-            sync(y)
-            dt = (time.perf_counter() - t0) / iters
-            print(json.dumps({
-                "metric": f"{model_name}-{attention}_{tile}px_b{batch}_bf16",
-                "value": round(batch / dt, 2),
-                "unit": "tiles/sec/chip",
-                "step_ms": round(dt * 1e3, 2),
-            }), flush=True)
-        except Exception as e:
-            print(json.dumps({
-                "metric": f"{model_name}-{attention}_{tile}px_b{batch}_bf16",
-                "error": type(e).__name__,
-            }), flush=True)
+        for engine in ("module", "serve", "int8"):
+            tag = (f"{model_name}-{attention}_{tile}px_b{batch}_"
+                   f"{'int8' if engine == 'int8' else 'bf16'}_{engine}")
+            if not supported(model_name, attention, engine):
+                continue
+            try:
+                predict = make_engine(
+                    model_name, attention, model, variables, engine,
+                    calib_batches=calib if engine == "int8" else None,
+                    argmax=True,
+                    input_dtype=jnp.bfloat16 if engine == "serve" else None)
+                sync(predict(x))
+                iters = 10
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    y = predict(x)
+                sync(y)
+                dt = (time.perf_counter() - t0) / iters
+                print(json.dumps({
+                    "metric": tag,
+                    "value": round(batch / dt, 2),
+                    "unit": "tiles/sec/chip",
+                    "step_ms": round(dt * 1e3, 2),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({"metric": tag, "error": type(e).__name__}),
+                      flush=True)
 
 
 if __name__ == "__main__":

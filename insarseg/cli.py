@@ -145,12 +145,14 @@ def cmd_predict(args) -> int:
     n = len(jax.devices())
     mesh = make_mesh(data=n) if n > 1 else None
 
+    from insarseg.engines import make_engine, supported
+
     engine_name = getattr(args, "engine", "module") or "module"
-    if engine_name != "module" and (cfg.model not in ("unet", "unet-fast")
-                                    or cfg.attention == "spatial"):
+    if not supported(cfg.model, cfg.attention, engine_name):
         raise SystemExit(
-            "--engine serve/int8 currently supports the UNet family with "
-            "none/channel attention; use --engine module")
+            f"--engine {engine_name} does not support "
+            f"({cfg.model}, {cfg.attention}); only UNet-SA lacks a fast "
+            "engine — use --engine module there")
     if engine_name != "module":
         mesh = None  # single-program engines run on the default device
 
@@ -164,26 +166,11 @@ def cmd_predict(args) -> int:
         padded = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
         return [np.asarray(extract_tiles(padded, pos, args.tile))]
 
-    if engine_name == "serve":
-        if cfg.model == "unet-fast":
-            from insarseg.models.unet_stem import make_fast_serve_predict_fn
-
-            serve = make_fast_serve_predict_fn(model, variables)
-        else:
-            from insarseg.models.unet_serve import make_serve_predict_fn
-
-            serve = make_serve_predict_fn(model, variables)
-        predict = lambda _v, t: serve(t)  # noqa: E731
-    elif engine_name == "int8":
-        if cfg.model == "unet-fast":
-            from insarseg.models.unet_stem import make_fast_int8_predict_fn
-
-            int8 = make_fast_int8_predict_fn(model, variables, _scene_calib())
-        else:
-            from insarseg.models.unet_int8 import make_int8_predict_fn
-
-            int8 = make_int8_predict_fn(variables, _scene_calib())
-        predict = lambda _v, t: int8(t)  # noqa: E731
+    if engine_name != "module":
+        eng = make_engine(
+            cfg.model, cfg.attention, model, variables, engine_name,
+            calib_batches=_scene_calib() if engine_name == "int8" else None)
+        predict = lambda _v, t: eng(t)  # noqa: E731
     else:
         predict = make_predict_fn(model, mesh=mesh)
         if mesh is not None:
@@ -322,9 +309,10 @@ def main(argv=None) -> int:
             p.add_argument("--engine", default="module",
                            choices=["module", "serve", "int8"],
                            help="inference engine: 'module' (parity graph, "
-                                "any model/mesh), 'serve' (deferred-SE exact "
-                                "graph, UNet), 'int8' (PTQ, self-calibrated "
-                                "on the scene, UNet; argmax-exact measured)")
+                                "any model/mesh), 'serve' (BN-folded exact "
+                                "graph: UNet none/channel, unet-fast, "
+                                "deeplabv3/fcn/pspnet), 'int8' (PTQ, "
+                                "self-calibrated on the scene, same models)")
         if name == "export-torch":
             p.add_argument("--output", required=True)
         p.set_defaults(fn=fn)

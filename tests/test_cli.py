@@ -71,11 +71,26 @@ def test_cli_predict_fast_engines(workdir, engine):
     assert Image.open(f"pred_{engine}.png").size == (48, 48)
 
 
-def test_cli_predict_engine_rejected_for_resnet_families(workdir):
+def test_cli_predict_resnet_serve_engine(workdir):
+    """predict --engine serve now covers the ResNet families
+    (insarseg/models/resnet_serve.py)."""
+    os.chdir(workdir)
+    rc = cli_main(["predict", "--preset", "deeplabv3", "--image-size", "32",
+                   "--input", "scene.png", "--tile", "32", "--overlap", "8",
+                   "--engine", "serve", "--output", "pred_dl.png"])
+    assert rc == 0
+    from PIL import Image
+
+    assert Image.open("pred_dl.png").size == (48, 48)
+
+
+def test_cli_predict_engine_rejected_for_unet_sa(workdir):
+    """UNet-SA stays module-only (spatial gates don't commute with pooling)."""
     os.chdir(workdir)
     with pytest.raises(SystemExit):
-        cli_main(["predict", "--preset", "deeplabv3", "--image-size", "32",
-                  "--input", "scene.png", "--tile", "32", "--engine", "serve"])
+        cli_main(["predict", "--preset", "unet-spatialattention",
+                  "--image-size", "32", "--input", "scene.png",
+                  "--tile", "32", "--engine", "serve"])
 
 
 def test_cli_train_missing_dataset(workdir, capsys):
