@@ -98,12 +98,31 @@ def _build(graph: str, batch: int, tile: int):
 
         calib = [np.asarray(x[:2], np.float32)]
         return make_int8_predict_fn(variables, calib, argmax=True), x
+    if graph == "train":
+        # the full jitted train step (fwd+bwd+Adam+sync-BN+metric counts) on
+        # the flagship U-Net-CA — ROADMAP "train-step trace" item
+        from insarseg.train import engine as tengine
+
+        model_f32 = UNet(num_classes=2, use_se=True)
+        state = tengine.create_state(model_f32, jax.random.key(0),
+                                     x[:batch])
+        step = tengine.make_train_step(model_f32, num_classes=2)
+        masks = jnp.asarray(
+            rng.integers(0, 2, (batch, tile, tile)).astype(np.int32))
+        key = jax.random.key(1)
+
+        def run(im):
+            _, out = step(state, im, masks, key)
+            return out["loss"]
+
+        return run, x
     raise SystemExit(f"unknown graph {graph!r}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--graph", default="std", choices=["std", "s2d", "int8"])
+    ap.add_argument("--graph", default="std",
+                    choices=["std", "s2d", "int8", "train"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tile", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)

@@ -149,13 +149,28 @@ def pack_unet_int8(
     variables: Dict[str, Any],
     calib_batches: List[jnp.ndarray],
     s2d: bool = True,
+    l1_kernel: str = "auto",
 ) -> Dict[str, Any]:
     """UNet variables + calibration images -> int8 serving tree.
 
     ``calib_batches``: a few representative input batches (B, H, W, C_in)
     float32 (normalized, as fed to the model). ``s2d=False`` quantizes the
     standard-layout graph — for models whose level 1 already fills the MXU
-    lanes (the space-to-depth fast variant)."""
+    lanes (the space-to-depth fast variant).
+
+    ``l1_kernel``: 'pallas' runs the level-1 s2d convs (inc.c2, conv4.c1,
+    conv4.c2 — the ones whose transformed kernels are half structural
+    zeros) through the block-sparse Pallas kernel
+    (insarseg/ops/pallas/s2d_conv_int8.py). Bit-identical codes and faster
+    per-op in-graph (19.8 vs ~26 ms/iter at 512^2 b64), but the engine
+    LOSES end-to-end (511 vs 600 tiles/s): XLA lays conv activations out
+    batch-minor ({3,0,2,1}) while pallas_call is row-major, and the
+    boundary relayouts cost more than the conv win — inc.c1's epilogue
+    un-fuses into a 6.5 ms s32 materialization + 7.9 ms requant/relayout,
+    and reduce_window on row-major codes runs 2x slower (9.2 vs 3.8 ms).
+    Trace tables in BASELINE.md. 'auto' therefore resolves to 'xla';
+    'pallas' stays opt-in until the whole L1 stage (c1+c2+pool+gates)
+    lives inside one kernel with only layout-cheap rim tensors."""
     pf = pack_unet_s2d(variables) if s2d else pack_unet_folded(variables)
     import functools
 
@@ -216,6 +231,20 @@ def pack_unet_int8(
     packed["up4"]["cat_s"] = scales["cat4"]
     packed["outc"] = pf["outc"]
     packed["in_s"] = scales["in"]
+
+    if l1_kernel == "auto":
+        l1_kernel = "xla"  # pallas loses at the XLA layout boundary (above)
+    if l1_kernel == "pallas" and s2d:
+        from insarseg.ops.pallas.s2d_conv_int8 import pack_sparse_weights
+
+        c2 = packed["inc"]["c2"]["q"].shape[-1]
+        one = [(0, c2)]
+        packed["inc"]["sparse_c2"] = pack_sparse_weights(
+            np.asarray(packed["inc"]["c2"]["q"]), one)
+        packed["conv4"]["sparse_c1"] = pack_sparse_weights(
+            np.asarray(packed["conv4"]["c1"]["q"]), [(0, c2), (c2, 2 * c2)])
+        packed["conv4"]["sparse_c2"] = pack_sparse_weights(
+            np.asarray(packed["conv4"]["c2"]["q"]), one)
     return packed
 
 
@@ -246,11 +275,27 @@ def _requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
     return jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
 
 
-def _dc_i8(blk: Dict, xq: jnp.ndarray, s2d: bool):
-    """One DoubleConv on int8 codes. Returns s8 codes at the block's output
-    scale, or bf16 when the block exits the int8 domain."""
-    t1 = _conv_i8(xq, blk["c1"])
-    yq = _conv_i8(t1, blk["c2"])
+def _sparse_conv(stacks, xs: List[jnp.ndarray], c: Dict) -> jnp.ndarray:
+    from insarseg.ops.pallas.s2d_conv_int8 import s2d_conv3x3_i8
+
+    return s2d_conv3x3_i8(xs, stacks[0], stacks[1], c["mult"], c["off"],
+                          c["out_s"])
+
+
+def _dc_i8(blk: Dict, xq, s2d: bool):
+    """One DoubleConv on int8 codes (``xq`` may be a list of sources for a
+    concat-input block). Returns s8 codes at the block's output scale, or
+    bf16 when the block exits the int8 domain."""
+    srcs = xq if isinstance(xq, list) else [xq]
+    if "sparse_c1" in blk:
+        t1 = _sparse_conv(blk["sparse_c1"], srcs, blk["c1"])
+    else:
+        t1 = _conv_i8(srcs[0] if len(srcs) == 1
+                      else jnp.concatenate(srcs, -1), blk["c1"])
+    if "sparse_c2" in blk:
+        yq = _sparse_conv(blk["sparse_c2"], [t1], blk["c2"])
+    else:
+        yq = _conv_i8(t1, blk["c2"])
     if "fc1" not in blk:
         return yq
     # squeeze from the codes (reads s8, not a materialized f32 tensor)
@@ -301,7 +346,11 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, packed["up4"]["k"], packed["up4"]["bias"])
     zq = _requant(z.astype(jnp.float32), packed["up4"]["cat_s"])
-    y2 = _dc_i8(packed["conv4"], jnp.concatenate([x1s, zq], -1), s2d=s2d)
+    # dual-source sparse kernel consumes skip||up without materializing the
+    # concat; the dense path concatenates inside _dc_i8
+    cat_in = [x1s, zq] if "sparse_c1" in packed["conv4"] \
+        else jnp.concatenate([x1s, zq], -1)
+    y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
 
     logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
     if packed["outc"]["bias"] is not None:
@@ -324,9 +373,11 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
 def make_int8_predict_fn(variables: Dict[str, Any],
                          calib_batches: List[jnp.ndarray],
                          argmax: bool = False,
-                         s2d: bool = True):
+                         s2d: bool = True,
+                         l1_kernel: str = "auto"):
     """Calibrate + pack once; return a jitted int8 ``predict(images)``."""
-    packed = pack_unet_int8(variables, calib_batches, s2d=s2d)
+    packed = pack_unet_int8(variables, calib_batches, s2d=s2d,
+                            l1_kernel=l1_kernel)
 
     @jax.jit
     def predict(images):

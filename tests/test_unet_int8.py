@@ -73,6 +73,24 @@ def test_int8_argmax_path(trained):
                                   np.asarray(jnp.argmax(logits, -1)))
 
 
+def test_int8_pallas_l1_matches_xla(trained):
+    """l1_kernel='pallas' (block-sparse s2d kernel, interpret mode on CPU)
+    must reproduce the dense-XLA engine's codes (<=1-code requant ties)."""
+    _, variables, calib = trained
+    rng = np.random.default_rng(9)
+    img, _ = _task_batch(rng, 2)
+    base = unet_int8_apply(pack_unet_int8(variables, calib,
+                                          l1_kernel="xla"), img)
+    fast = unet_int8_apply(pack_unet_int8(variables, calib,
+                                          l1_kernel="pallas"), img)
+    b = np.asarray(base, np.float32)
+    f = np.asarray(fast, np.float32)
+    # logits pass through bf16 tails; compare argmax + close logits
+    agree = float((b.argmax(-1) == f.argmax(-1)).mean())
+    assert agree > 0.995, agree
+    np.testing.assert_allclose(f, b, rtol=0.05, atol=0.05)
+
+
 def test_int8_plain_unet_no_se():
     """The plain (no-SE) variant quantizes through the same pack."""
     rng = np.random.default_rng(1)
