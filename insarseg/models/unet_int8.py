@@ -234,6 +234,16 @@ def pack_unet_int8(
 
     if l1_kernel == "auto":
         l1_kernel = "xla"  # pallas loses at the XLA layout boundary (above)
+    if l1_kernel == "fused" and s2d:
+        # whole-L1 kernels: only layout-cheap rim tensors cross the
+        # XLA<->pallas boundary (l1_fused.py docstring)
+        from insarseg.ops.pallas.l1_fused import (
+            pack_l1_decoder,
+            pack_l1_encoder,
+        )
+
+        packed["l1_fused"] = {"enc": pack_l1_encoder(packed["inc"]),
+                              "dec": pack_l1_decoder(packed["conv4"])}
     if l1_kernel == "pallas" and s2d:
         from insarseg.ops.pallas.s2d_conv_int8 import pack_sparse_weights
 
@@ -324,8 +334,31 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     nc = packed["outc"]["nc"]
     x2 = _h_s2d(x.astype(jnp.float32)) if s2d else x.astype(jnp.float32)
     xq = _requant(x2, packed["in_s"])
-    x1s = _dc_i8(packed["inc"], xq, s2d=s2d)  # s8 @ cat4 scale
-    y = _maxpool_exit_s2d(x1s) if s2d else _maxpool_i8(x1s)
+    fused = "l1_fused" in packed
+    if fused:
+        # fused encoder kernel + deferred SE gate: x1s never materializes;
+        # the maxpool exit is gated on the 4x-smaller pooled codes
+        # (requant/max commute with the positive per-channel gate). inc.c1
+        # stays in XLA behind a barrier so its epilogue fuses in XLA's own
+        # conv layout before the one cheap relayout into the kernel.
+        from insarseg.ops.pallas.l1_fused import l1_encoder_i8
+
+        inc = packed["inc"]
+        t1 = jax.lax.optimization_barrier(_conv_i8(xq, inc["c1"]))
+        yq_inc, mp2, pools = l1_encoder_i8(t1, packed["l1_fused"]["enc"])
+        c = pools.shape[-1] // 2
+        n = yq_inc.shape[1] * yq_inc.shape[2]
+        pooled = 0.5 * (pools[:, :c] + pools[:, c:]) / n * inc["se_pre_s"]
+        sc = _se_scales(inc, pooled)
+        gain128 = jnp.concatenate([sc, sc], -1) \
+            * (inc["se_pre_s"] / inc["se_out_s"])
+        gain64 = sc * (inc["se_pre_s"] / inc["se_out_s"])
+        y = jnp.clip(jnp.rint(mp2.astype(jnp.float32)
+                              * gain64[:, None, None, :]),
+                     -127, 127).astype(jnp.int8)
+    else:
+        x1s = _dc_i8(packed["inc"], xq, s2d=s2d)  # s8 @ cat4 scale
+        y = _maxpool_exit_s2d(x1s) if s2d else _maxpool_i8(x1s)
 
     skips = {}
     for i in range(1, 5):
@@ -346,11 +379,27 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, packed["up4"]["k"], packed["up4"]["bias"])
     zq = _requant(z.astype(jnp.float32), packed["up4"]["cat_s"])
-    # dual-source sparse kernel consumes skip||up without materializing the
-    # concat; the dense path concatenates inside _dc_i8
-    cat_in = [x1s, zq] if "sparse_c1" in packed["conv4"] \
-        else jnp.concatenate([x1s, zq], -1)
-    y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
+    if fused:
+        # fused decoder kernel: gates the skip codes per loaded row and
+        # consumes skip||up without the concat; SE excite folds into the
+        # bf16 exit feeding the head dot
+        from insarseg.ops.pallas.l1_fused import l1_decoder_i8
+
+        blk4 = packed["conv4"]
+        y2q, pools4 = l1_decoder_i8(yq_inc, zq, gain128,
+                                    packed["l1_fused"]["dec"])
+        pooled4 = 0.5 * (pools4[:, :c] + pools4[:, c:]) / n \
+            * blk4["se_pre_s"]
+        sc4 = _se_scales(blk4, pooled4)
+        g4 = (jnp.concatenate([sc4, sc4], -1)
+              * blk4["se_pre_s"]).astype(jnp.bfloat16)
+        y2 = y2q.astype(jnp.bfloat16) * g4[:, None, None, :]
+    else:
+        # dual-source sparse kernel consumes skip||up without materializing
+        # the concat; the dense path concatenates inside _dc_i8
+        cat_in = [x1s, zq] if "sparse_c1" in packed["conv4"] \
+            else jnp.concatenate([x1s, zq], -1)
+        y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
 
     logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
     if packed["outc"]["bias"] is not None:

@@ -91,6 +91,24 @@ def test_int8_pallas_l1_matches_xla(trained):
     np.testing.assert_allclose(f, b, rtol=0.05, atol=0.05)
 
 
+def test_int8_fused_l1_matches_xla(trained):
+    """l1_kernel='fused' (whole-L1 kernels + deferred SE gates) must
+    reproduce the dense engine (gate deferral is bit-exact; requant ties
+    allow <=1-code drift)."""
+    _, variables, calib = trained
+    rng = np.random.default_rng(10)
+    img, _ = _task_batch(rng, 2)
+    base = unet_int8_apply(pack_unet_int8(variables, calib,
+                                          l1_kernel="xla"), img)
+    fast = unet_int8_apply(pack_unet_int8(variables, calib,
+                                          l1_kernel="fused"), img)
+    b = np.asarray(base, np.float32)
+    f = np.asarray(fast, np.float32)
+    agree = float((b.argmax(-1) == f.argmax(-1)).mean())
+    assert agree > 0.995, agree
+    np.testing.assert_allclose(f, b, rtol=0.05, atol=0.05)
+
+
 def test_int8_plain_unet_no_se():
     """The plain (no-SE) variant quantizes through the same pack."""
     rng = np.random.default_rng(1)
