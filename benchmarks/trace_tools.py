@@ -111,8 +111,16 @@ def _build(graph: str, batch: int, tile: int):
             rng.integers(0, 2, (batch, tile, tile)).astype(np.int32))
         key = jax.random.key(1)
 
+        holder = {"state": state}
+
         def run(im):
-            _, out = step(state, im, masks, key)
+            # the jitted step donates the state buffers — thread the new
+            # state through so repeated profiling calls stay valid (but not
+            # while being traced for the HLO dump: keeping a tracer would
+            # leak it into the next real call)
+            new_state, out = step(holder["state"], im, masks, key)
+            if not isinstance(out["loss"], jax.core.Tracer):
+                holder["state"] = new_state
             return out["loss"]
 
         return run, x
