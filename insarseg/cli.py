@@ -118,7 +118,30 @@ def cmd_eval(args) -> int:
     loader = BatchLoader(ds, cfg.batch_size, ignore_index=cfg.ignore_index)
 
     variables = _load_variables(args, cfg, model)
-    eval_step = engine.make_eval_step(model, cfg.num_classes, cfg.ignore_index)
+    engine_name = getattr(args, "engine", "module") or "module"
+    if engine_name != "module":
+        from insarseg.engines import make_engine, supported
+
+        if not supported(cfg.model, cfg.attention, engine_name):
+            raise SystemExit(
+                f"--engine {engine_name} does not support "
+                f"({cfg.model}, {cfg.attention}); use --engine module")
+        calib = None
+        if engine_name == "int8":
+            # calibrate on the first validation batch (real data)
+            first = next(iter(loader))
+            img = np.asarray(first["image"], np.float32)
+            if first["image"].dtype == np.uint8:
+                img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
+            calib = [img]
+        predict = make_engine(cfg.model, cfg.attention, model, variables,
+                              engine_name, calib_batches=calib)
+        eval_step = engine.make_engine_eval_step(
+            predict, cfg.num_classes, cfg.ignore_index,
+            normalize=(cfg.normalize_mean, cfg.normalize_std))
+    else:
+        eval_step = engine.make_eval_step(model, cfg.num_classes,
+                                          cfg.ignore_index)
     res = engine.evaluate(eval_step, variables["params"],
                           variables["batch_stats"], loader,
                           cfg.metrics_version, cfg.metrics_mode)
@@ -300,6 +323,11 @@ def main(argv=None) -> int:
         _add_config_overrides(p)
         if name == "eval":
             p.add_argument("--split", default="val")
+            p.add_argument("--engine", default="module",
+                           choices=["module", "serve", "int8"],
+                           help="score a serving engine instead of the "
+                                "module graph — int8 self-calibrates on "
+                                "the first val batch (calibration QA)")
         if name == "predict":
             p.add_argument("--input", required=True)
             p.add_argument("--output", default=None)

@@ -127,6 +127,26 @@ def make_eval_step(model, num_classes: int, ignore_index: int = 255,
     return jax.jit(step)
 
 
+def make_engine_eval_step(predict: Callable, num_classes: int,
+                          ignore_index: int = 255,
+                          normalize: Optional[tuple] = (0.5, 0.5)) -> Callable:
+    """Eval step over a serving-engine ``predict(images) -> logits``
+    (insarseg/engines.py) instead of the module graph — same loss/metric
+    contract as :func:`make_eval_step`, so ``evaluate`` and the CLI can
+    score the serve/int8 engines against real data (int8 calibration QA)."""
+
+    def step(params, batch_stats, image, mask):
+        del params, batch_stats  # baked into the packed engine
+        if image.dtype == jnp.uint8:
+            image = normalize_u8(image, *normalize)
+        logits = predict(image).astype(jnp.float32)
+        loss = cross_entropy_loss(logits, mask, ignore_index)
+        counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
+        return {"loss": loss, **counts}
+
+    return jax.jit(step)
+
+
 class _Averager:
     """Reference-parity metric averaging: per-batch metrics weighted by real
     batch size (SURVEY.md §2.2.20); or global-confusion accumulation.

@@ -47,6 +47,17 @@ def test_cli_train_eval_export_roundtrip(workdir):
     assert rc == 0
 
 
+@pytest.mark.parametrize("engine", ["serve", "int8"])
+def test_cli_eval_engines(workdir, engine, capsys):
+    """eval --engine serve/int8 scores the serving engines on the val set
+    (int8 self-calibrates on the first batch)."""
+    os.chdir(workdir)
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine", engine])
+    assert rc == 0
+    assert "val_miou" in capsys.readouterr().out
+
+
 def test_cli_predict(workdir):
     os.chdir(workdir)
     rc = cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "32",
