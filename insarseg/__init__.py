@@ -18,6 +18,9 @@ de-duplicated into a real library:
                           parallelism over a TPU slice via GSPMD).
 - ``insarseg.compat``   — PyTorch ``state_dict`` <-> JAX param converters for
                           parity testing against the reference.
+- ``insarseg.engines``  — serving-engine factory: the parity module graph,
+                          BN-folded exact serve graphs, and int8 PTQ engines
+                          for every model family (one ``make_engine`` call).
 
 Everything in the compute path is NHWC, jit-compilable, static-shape, and
 designed to map onto the TPU MXU/VPU; multi-chip execution goes through
