@@ -4,17 +4,18 @@ One entry point over the per-family serving graphs:
 
 - ``module`` — the parity Flax graph (`model.apply(train=False)`), every
   model/attention cell; the default, bit-matches training eval.
-- ``serve``  — BN-folded exact serving graph: UNet none/channel
-  (insarseg/models/unet_serve.py, deferred SE gates), the space-to-depth
-  fast variant (unet_stem.py), and all DeepLabV3/FCN/PSPNet cells
+- ``serve``  — BN-folded exact serving graph: all UNet cells
+  (insarseg/models/unet_serve.py — SE gates deferred to fusible
+  consumers, SA per-pixel gates in place), the space-to-depth fast
+  variant (unet_stem.py), and all DeepLabV3/FCN/PSPNet cells
   (resnet_serve.py). Same math up to float reassociation.
 - ``int8``   — opt-in post-training quantization (needs calibration
   batches): UNet none/channel via the H-s2d graph (unet_int8.py), the
   fast variant, and all DeepLabV3/FCN/PSPNet cells (resnet_int8.py).
   Not parity-preserving.
 
-The only unsupported fast-engine cell is UNet-SA (its spatial gates don't
-commute with pooling — unet_serve.py docstring); ask for ``module`` there.
+The only gaps: UNet-SA has no int8 pack (the s2d parity lanes would mix
+pixels under its channel mean/max), and the fast variant has no SA cell.
 """
 
 from __future__ import annotations
@@ -33,7 +34,11 @@ def supported(model_name: str, attention: str, engine: str) -> bool:
         return True
     if engine not in ENGINES:
         return False
-    if model_name in ("unet", "unet-fast", "unet_fast"):
+    if model_name == "unet":
+        # SA serves via the folded standard-layout graph (per-pixel gates
+        # in place); its int8/s2d packs are SE/plain-only
+        return attention != "spatial" or engine == "serve"
+    if model_name in ("unet-fast", "unet_fast"):
         return attention != "spatial"
     return model_name in ("deeplabv3", "fcn", "pspnet")
 
@@ -57,8 +62,9 @@ def make_engine(
     if not supported(model_name, attention, engine):
         raise ValueError(
             f"engine {engine!r} does not support ({model_name}, {attention}); "
-            "supported: module=everything; serve/int8=UNet none/channel, "
-            "unet-fast, deeplabv3/fcn/pspnet (all attentions)")
+            "supported: module=everything; serve=every cell except "
+            "unet-fast spatial; int8=UNet none/channel, unet-fast, "
+            "deeplabv3/fcn/pspnet (all attentions)")
 
     if engine == "module":
         @jax.jit

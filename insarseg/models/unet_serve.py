@@ -35,10 +35,10 @@ from insarseg.ops.layers import max_pool_2d
 
 def pack_unet_serve(variables: Dict[str, Any]) -> Dict[str, Any]:
     """UNet {'params','batch_stats'} -> BN-folded serving tree (standard
-    layout; supports the plain and SE variants — the SA variant's spatial
-    gates do not commute with pooling, use ``UNet.apply``)."""
+    layout). Supports all three variants: plain, SE (gates deferred), and
+    SA (the per-pixel CBAM-DC gates stay in place — they don't commute
+    with pooling — but their DoubleConv BNs fold like everything else)."""
     p, s = variables["params"], variables["batch_stats"]
-    assert "sa1" not in p, "SA variant: use the standard UNet graph"
     packed: Dict[str, Any] = {"inc": _fold_dc(p["inc"], s["inc"])}
     for i in range(1, 5):
         packed[f"down{i}"] = _fold_dc(p[f"down{i}"], s[f"down{i}"])
@@ -49,6 +49,9 @@ def pack_unet_serve(variables: Dict[str, Any]) -> Dict[str, Any]:
             if "bias" in p[f"up{i}"] else None,
         }
         packed[f"conv{i}"] = _fold_dc(p[f"conv{i}"], s[f"conv{i}"])
+        if f"sa{i}" in p:
+            packed[f"sa{i}"] = _fold_dc(p[f"sa{i}"]["compress_and_map"],
+                                        s[f"sa{i}"]["compress_and_map"])
     packed["outc"] = {
         "k": jnp.asarray(p["outc"]["kernel"]),
         "bias": jnp.asarray(p["outc"]["bias"])
@@ -71,6 +74,16 @@ def _dc_gate(pk: Dict, x: jnp.ndarray):
 
 def _gated(x: jnp.ndarray, g) -> jnp.ndarray:
     return x if g is None else x * g
+
+
+def _sa_gate(pk: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Folded SpatialAttentionDC: channel mean/max -> DoubleConv(2->1)
+    (BN-folded) -> sigmoid -> per-pixel rescale (ops/blocks.py:133-149)."""
+    m = jnp.concatenate([jnp.mean(x, axis=-1, keepdims=True),
+                         jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+    m = _conv_affine(m, pk["k1"], pk["s1"], pk["b1"])
+    m = _conv_affine(m, pk["k2"], pk["s2"], pk["b2"])
+    return x * jax.nn.sigmoid(m.astype(jnp.float32)).astype(x.dtype)
 
 
 def unet_serve_apply(packed: Dict[str, Any], x: jnp.ndarray,
@@ -100,6 +113,8 @@ def unet_serve_apply(packed: Dict[str, Any], x: jnp.ndarray,
         if gsk is not None:
             cat = cat * jnp.concatenate(
                 [gsk, jnp.ones_like(gsk)], axis=-1)
+        if f"sa{i}" in packed:  # SA variant: gate after the concat
+            cat = _sa_gate(packed[f"sa{i}"], cat)
         y, g = _dc_gate(packed[f"conv{i}"], cat)
 
     y = _gated(y, g)  # fuses into the 1x1-conv head's input fusion

@@ -95,13 +95,19 @@ def test_cli_predict_resnet_serve_engine(workdir):
     assert Image.open("pred_dl.png").size == (48, 48)
 
 
-def test_cli_predict_engine_rejected_for_unet_sa(workdir):
-    """UNet-SA stays module-only (spatial gates don't commute with pooling)."""
+def test_cli_predict_unet_sa_serve_engine(workdir):
+    """UNet-SA now serves via the BN-folded graph (per-pixel gates in
+    place); its int8 pack stays unsupported."""
     os.chdir(workdir)
+    rc = cli_main(["predict", "--preset", "unet-spatialattention",
+                   "--image-size", "32", "--input", "scene.png",
+                   "--tile", "32", "--overlap", "8", "--engine", "serve",
+                   "--output", "pred_sa.png"])
+    assert rc == 0
     with pytest.raises(SystemExit):
         cli_main(["predict", "--preset", "unet-spatialattention",
                   "--image-size", "32", "--input", "scene.png",
-                  "--tile", "32", "--engine", "serve"])
+                  "--tile", "32", "--engine", "int8"])
 
 
 def test_cli_train_missing_dataset(workdir, capsys):

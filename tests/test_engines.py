@@ -13,7 +13,7 @@ from insarseg.engines import make_engine, supported
 def test_support_matrix():
     assert supported("unet", "channel", "serve")
     assert supported("unet", "none", "int8")
-    assert not supported("unet", "spatial", "serve")
+    assert supported("unet", "spatial", "serve")  # BN-folded, gates in place
     assert not supported("unet", "spatial", "int8")
     assert supported("unet", "spatial", "module")
     for fam in ("deeplabv3", "fcn", "pspnet"):
@@ -49,4 +49,4 @@ def test_int8_requires_calib():
 
 def test_unsupported_cell_raises():
     with pytest.raises(ValueError, match="does not support"):
-        make_engine("unet", "spatial", None, {}, "serve")
+        make_engine("unet", "spatial", None, {}, "int8")

@@ -37,6 +37,25 @@ def test_serve_matches_unet(use_se):
                                rtol=0, atol=1e-4)
 
 
+def test_serve_matches_unet_sa():
+    """SA variant: per-pixel gates stay in place, BNs fold (incl. the SA
+    DoubleConvs)."""
+    model = UNet(num_classes=2, base_features=16, use_sa=True)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 64, 64, 1)))
+    stats = jax.tree.map(
+        lambda v: jnp.abs(v + 0.07 * jnp.arange(
+            v.size, dtype=v.dtype).reshape(v.shape) % 1.3) + 0.02
+        if v.ndim else v,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    got = unet_serve_apply(pack_unet_serve(variables), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
 def test_serve_argmax_and_jit():
     model, variables = _init(True)
     rng = np.random.default_rng(1)
@@ -62,8 +81,12 @@ def test_serve_gate_pool_commutation_exact():
                                   np.asarray(b, np.float32))
 
 
-def test_serve_rejects_sa_variant():
+def test_s2d_pack_rejects_sa_variant():
+    """The H-s2d graphs stay SE/plain-only (the SA channel mean/max would
+    mix pixels across the folded parity lanes)."""
+    from insarseg.models.unet_s2d import pack_unet_s2d
+
     model = UNet(num_classes=2, base_features=16, use_sa=True)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
     with pytest.raises(AssertionError):
-        pack_unet_serve(variables)
+        pack_unet_s2d(variables)
