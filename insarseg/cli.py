@@ -174,8 +174,8 @@ def cmd_predict(args) -> int:
     if not supported(cfg.model, cfg.attention, engine_name):
         raise SystemExit(
             f"--engine {engine_name} does not support "
-            f"({cfg.model}, {cfg.attention}); UNet-SA has no int8 pack "
-            "(serve/module work), unet-fast SA has no fast engine")
+            f"({cfg.model}, {cfg.attention}); only unet-fast SA lacks a "
+            "fast engine — use --engine module there")
     if engine_name != "module":
         mesh = None  # single-program engines run on the default device
 

@@ -14,8 +14,9 @@ One entry point over the per-family serving graphs:
   fast variant, and all DeepLabV3/FCN/PSPNet cells (resnet_int8.py).
   Not parity-preserving.
 
-The only gaps: UNet-SA has no int8 pack (the s2d parity lanes would mix
-pixels under its channel mean/max), and the fast variant has no SA cell.
+UNet-SA routes through the folded STANDARD-layout graphs for both fast
+engines (its per-pixel gates are meaningless across s2d parity lanes);
+the only unsupported fast-engine cell is the unet-fast SA variant.
 """
 
 from __future__ import annotations
@@ -35,9 +36,9 @@ def supported(model_name: str, attention: str, engine: str) -> bool:
     if engine not in ENGINES:
         return False
     if model_name == "unet":
-        # SA serves via the folded standard-layout graph (per-pixel gates
-        # in place); its int8/s2d packs are SE/plain-only
-        return attention != "spatial" or engine == "serve"
+        # every cell: SA serves/quantizes via the folded STANDARD-layout
+        # graph (per-pixel gates are meaningless across s2d parity lanes)
+        return True
     if model_name in ("unet-fast", "unet_fast"):
         return attention != "spatial"
     return model_name in ("deeplabv3", "fcn", "pspnet")
@@ -62,9 +63,8 @@ def make_engine(
     if not supported(model_name, attention, engine):
         raise ValueError(
             f"engine {engine!r} does not support ({model_name}, {attention}); "
-            "supported: module=everything; serve=every cell except "
-            "unet-fast spatial; int8=UNet none/channel, unet-fast, "
-            "deeplabv3/fcn/pspnet (all attentions)")
+            "supported: module=everything; serve/int8=every cell except "
+            "unet-fast spatial")
 
     if engine == "module":
         @jax.jit
@@ -97,7 +97,8 @@ def make_engine(
                                          input_dtype=input_dtype)
         from insarseg.models.unet_int8 import make_int8_predict_fn
 
-        return make_int8_predict_fn(variables, calib_batches, argmax=argmax)
+        return make_int8_predict_fn(variables, calib_batches, argmax=argmax,
+                                    s2d=attention != "spatial")
 
     if engine == "serve":
         from insarseg.models.resnet_serve import make_resnet_serve_predict_fn

@@ -79,6 +79,20 @@ def _se_apply(y, sc, s2d: bool):
     return y * sc[:, None, None, :]
 
 
+def _sa_sigmoid(pk, x):
+    """Folded SpatialAttentionDC gate map: channel mean/max ->
+    DoubleConv(2->1) -> sigmoid; returns the (B,H,W,1) f32 gate."""
+    m = jnp.concatenate([jnp.mean(x, axis=-1, keepdims=True),
+                         jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+    m = _conv_affine(m, pk["k1"], pk["s1"], pk["b1"])
+    m = _conv_affine(m, pk["k2"], pk["s2"], pk["b2"])
+    return jax.nn.sigmoid(m.astype(jnp.float32))
+
+
+def _sa_f32(pk, x):
+    return x * _sa_sigmoid(pk, x).astype(x.dtype)
+
+
 def _dc_f32(pk, x, s2d: bool):
     """f32 replay of one DoubleConv; returns (t1, t2_pre_se, out)."""
     t1 = _conv_affine(x, pk["k1"], pk["s1"], pk["b1"])
@@ -121,14 +135,22 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray,
         if i < 4:
             y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 2, 2, 1),
                                   (1, 2, 2, 1), "VALID")
+    def gate(i, cat):
+        # SA variant (standard layout only): the replay must see the gated
+        # decoder inputs so the downstream scales match the int8 forward
+        if f"sa{i}" not in pf:
+            return cat
+        return _sa_f32(pf[f"sa{i}"], cat)
+
     for i, skip in ((1, "l4"), (2, "l3"), (3, "l2")):
         z = _conv_transpose_k2s2(y, pf[f"up{i}"]["k"], pf[f"up{i}"]["bias"])
         rec(f"cat{i}", feats[skip], z)
-        y = dc(f"conv{i}", jnp.concatenate([feats[skip], z], -1), False)
+        y = dc(f"conv{i}", gate(i, jnp.concatenate([feats[skip], z], -1)),
+               False)
     z = _up4_s2d(y, pf["up4"]["k"], pf["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, pf["up4"]["k"], pf["up4"]["bias"])
     rec("cat4", feats["l1"], z)
-    dc("conv4", jnp.concatenate([feats["l1"], z], -1), s2d)
+    dc("conv4", gate(4, jnp.concatenate([feats["l1"], z], -1)), s2d)
     return am
 
 
@@ -231,6 +253,9 @@ def pack_unet_int8(
     packed["up4"]["cat_s"] = scales["cat4"]
     packed["outc"] = pf["outc"]
     packed["in_s"] = scales["in"]
+    for i in range(1, 5):  # SA variant (standard layout): f32 gate convs
+        if f"sa{i}" in pf:
+            packed[f"sa{i}"] = pf[f"sa{i}"]
 
     if l1_kernel == "auto":
         l1_kernel = "xla"  # pallas loses at the XLA layout boundary (above)
@@ -322,6 +347,16 @@ def _dc_i8(blk: Dict, xq, s2d: bool):
     return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
 
 
+def _sa_gate_i8(pk: Dict, catq: jnp.ndarray, cat_s: float) -> jnp.ndarray:
+    """SA gate on int8 codes (standard layout): compute the per-pixel
+    sigmoid gate from the dequantized codes (tiny 2->1 convs stay f32),
+    then rescale the codes in place — the gate is in (0,1) so the input's
+    calibrated scale remains a valid bound for the gated tensor."""
+    g = _sa_sigmoid(pk, catq.astype(jnp.float32) * cat_s)
+    y = catq.astype(jnp.float32) * g
+    return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
+
+
 def _maxpool_i8(yq: jnp.ndarray) -> jnp.ndarray:
     return lax.reduce_window(yq, jnp.int8(-128), lax.max, (1, 2, 2, 1),
                              (1, 2, 2, 1), "VALID")
@@ -373,8 +408,10 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         z = _conv_transpose_k2s2(y, up["k"], up["bias"])
         zq = _requant(z.astype(jnp.float32), up["cat_s"])
         # skip is int8 at this same concat scale by construction
-        y = _dc_i8(packed[f"conv{i}"], jnp.concatenate([skips[skip], zq], -1),
-                   s2d=False)
+        catq = jnp.concatenate([skips[skip], zq], -1)
+        if f"sa{i}" in packed:
+            catq = _sa_gate_i8(packed[f"sa{i}"], catq, up["cat_s"])
+        y = _dc_i8(packed[f"conv{i}"], catq, s2d=False)
 
     z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, packed["up4"]["k"], packed["up4"]["bias"])
@@ -397,8 +434,13 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     else:
         # dual-source sparse kernel consumes skip||up without materializing
         # the concat; the dense path concatenates inside _dc_i8
-        cat_in = [x1s, zq] if "sparse_c1" in packed["conv4"] \
-            else jnp.concatenate([x1s, zq], -1)
+        if "sparse_c1" in packed["conv4"]:
+            cat_in = [x1s, zq]
+        else:
+            cat_in = jnp.concatenate([x1s, zq], -1)
+            if "sa4" in packed:
+                cat_in = _sa_gate_i8(packed["sa4"], cat_in,
+                                     packed["up4"]["cat_s"])
         y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
 
     logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)

@@ -148,9 +148,10 @@ def pack_unet_folded(variables: Dict[str, Any]) -> Dict[str, Any]:
     """UNet {'params','batch_stats'} -> BN-folded tree in the STANDARD
     layout (no s2d transform anywhere) — the substrate for int8 serving of
     models whose level 1 already fills the MXU lanes (e.g. the
-    space-to-depth fast variant, insarseg/models/unet_stem.py)."""
+    space-to-depth fast variant, insarseg/models/unet_stem.py) and of the
+    SA variant (whose per-pixel gates are meaningless across s2d parity
+    lanes; the gates' DoubleConv BNs fold like everything else)."""
     p, s = variables["params"], variables["batch_stats"]
-    assert "sa1" not in p, "SA variant: use the standard UNet graph"
     packed: Dict[str, Any] = {"inc": _fold_dc(p["inc"], s["inc"])}
     for i in range(1, 5):
         packed[f"down{i}"] = _fold_dc(p[f"down{i}"], s[f"down{i}"])
@@ -161,6 +162,9 @@ def pack_unet_folded(variables: Dict[str, Any]) -> Dict[str, Any]:
             if "bias" in p[f"up{i}"] else None,
         }
         packed[f"conv{i}"] = _fold_dc(p[f"conv{i}"], s[f"conv{i}"])
+        if f"sa{i}" in p:
+            packed[f"sa{i}"] = _fold_dc(p[f"sa{i}"]["compress_and_map"],
+                                        s[f"sa{i}"]["compress_and_map"])
     wo = np.asarray(p["outc"]["kernel"])[0, 0]  # (f, nc)
     packed["outc"] = {"k": jnp.asarray(wo),
                       "bias": jnp.asarray(p["outc"]["bias"])

@@ -95,19 +95,16 @@ def test_cli_predict_resnet_serve_engine(workdir):
     assert Image.open("pred_dl.png").size == (48, 48)
 
 
-def test_cli_predict_unet_sa_serve_engine(workdir):
-    """UNet-SA now serves via the BN-folded graph (per-pixel gates in
-    place); its int8 pack stays unsupported."""
+@pytest.mark.parametrize("engine", ["serve", "int8"])
+def test_cli_predict_unet_sa_engines(workdir, engine):
+    """UNet-SA runs on both fast engines via the folded STANDARD-layout
+    graph (per-pixel gates in place / on codes)."""
     os.chdir(workdir)
     rc = cli_main(["predict", "--preset", "unet-spatialattention",
                    "--image-size", "32", "--input", "scene.png",
-                   "--tile", "32", "--overlap", "8", "--engine", "serve",
-                   "--output", "pred_sa.png"])
+                   "--tile", "32", "--overlap", "8", "--engine", engine,
+                   "--output", f"pred_sa_{engine}.png"])
     assert rc == 0
-    with pytest.raises(SystemExit):
-        cli_main(["predict", "--preset", "unet-spatialattention",
-                  "--image-size", "32", "--input", "scene.png",
-                  "--tile", "32", "--engine", "int8"])
 
 
 def test_cli_train_missing_dataset(workdir, capsys):

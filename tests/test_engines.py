@@ -14,8 +14,9 @@ def test_support_matrix():
     assert supported("unet", "channel", "serve")
     assert supported("unet", "none", "int8")
     assert supported("unet", "spatial", "serve")  # BN-folded, gates in place
-    assert not supported("unet", "spatial", "int8")
+    assert supported("unet", "spatial", "int8")   # standard-layout pack
     assert supported("unet", "spatial", "module")
+    assert not supported("unet-fast", "spatial", "serve")
     for fam in ("deeplabv3", "fcn", "pspnet"):
         for att in ("none", "channel", "spatial"):
             for eng in ("module", "serve", "int8"):
@@ -49,4 +50,4 @@ def test_int8_requires_calib():
 
 def test_unsupported_cell_raises():
     with pytest.raises(ValueError, match="does not support"):
-        make_engine("unet", "spatial", None, {}, "int8")
+        make_engine("unet-fast", "spatial", None, {}, "serve")

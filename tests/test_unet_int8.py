@@ -120,3 +120,19 @@ def test_int8_plain_unet_no_se():
     want = model.apply(variables, img, train=False)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_int8_sa_variant_standard_layout():
+    """The SA variant quantizes through the standard-layout pack: gates
+    computed from the dequantized codes, applied on the codes in place."""
+    rng = np.random.default_rng(2)
+    model = UNet(num_classes=2, base_features=16, use_sa=True)
+    img, _ = _task_batch(rng, 4)
+    variables = model.init(jax.random.key(0), img)
+    packed = pack_unet_int8(variables, [img], s2d=False)
+    assert "sa1" in packed and "sa4" in packed
+    got = unet_int8_apply(packed, img)
+    want = model.apply(variables, img, train=False)
+    assert got.shape == want.shape
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
+    assert corr > 0.98, corr
