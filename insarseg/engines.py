@@ -15,8 +15,11 @@ One entry point over the per-family serving graphs:
   Not parity-preserving.
 
 UNet-SA routes through the folded STANDARD-layout graphs for both fast
-engines (its per-pixel gates are meaningless across s2d parity lanes);
-the only unsupported fast-engine cell is the unet-fast SA variant.
+engines (its per-pixel gates are meaningless across s2d parity lanes).
+Measured note: SA int8 is functional but SLOWER than its module graph
+(733 vs 982 tiles/s at 256^2 — 64-lane L1 int8 convs + full-res gate
+passes); prefer ``serve`` for SA unless the 4x activation-memory saving
+matters. The only unsupported fast-engine cell is unet-fast SA.
 """
 
 from __future__ import annotations
