@@ -174,8 +174,7 @@ def cmd_predict(args) -> int:
     if not supported(cfg.model, cfg.attention, engine_name):
         raise SystemExit(
             f"--engine {engine_name} does not support "
-            f"({cfg.model}, {cfg.attention}); only unet-fast SA lacks a "
-            "fast engine — use --engine module there")
+            f"({cfg.model}, {cfg.attention})")
     if engine_name != "module":
         mesh = None  # single-program engines run on the default device
 

@@ -19,7 +19,7 @@ engines (its per-pixel gates are meaningless across s2d parity lanes).
 Measured note: SA int8 is functional but SLOWER than its module graph
 (733 vs 982 tiles/s at 256^2 — 64-lane L1 int8 convs + full-res gate
 passes); prefer ``serve`` for SA unless the 4x activation-memory saving
-matters. The only unsupported fast-engine cell is unet-fast SA.
+matters. Every (model, attention, engine) cell is covered.
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def supported(model_name: str, attention: str, engine: str) -> bool:
         # graph (per-pixel gates are meaningless across s2d parity lanes)
         return True
     if model_name in ("unet-fast", "unet_fast"):
-        return attention != "spatial"
+        return True  # SA rides the inner standard-layout packs too
     return model_name in ("deeplabv3", "fcn", "pspnet")
 
 
@@ -66,8 +66,7 @@ def make_engine(
     if not supported(model_name, attention, engine):
         raise ValueError(
             f"engine {engine!r} does not support ({model_name}, {attention}); "
-            "supported: module=everything; serve/int8=every cell except "
-            "unet-fast spatial")
+            "supported: every (model, attention) cell on every engine")
 
     if engine == "module":
         @jax.jit

@@ -16,7 +16,7 @@ def test_support_matrix():
     assert supported("unet", "spatial", "serve")  # BN-folded, gates in place
     assert supported("unet", "spatial", "int8")   # standard-layout pack
     assert supported("unet", "spatial", "module")
-    assert not supported("unet-fast", "spatial", "serve")
+    assert supported("unet-fast", "spatial", "serve")
     for fam in ("deeplabv3", "fcn", "pspnet"):
         for att in ("none", "channel", "spatial"):
             for eng in ("module", "serve", "int8"):
@@ -48,6 +48,6 @@ def test_int8_requires_calib():
         make_engine("unet", "none", model, variables, "int8")
 
 
-def test_unsupported_cell_raises():
+def test_unknown_engine_raises():
     with pytest.raises(ValueError, match="does not support"):
-        make_engine("unet-fast", "spatial", None, {}, "serve")
+        make_engine("unet", "none", None, {}, "bogus")

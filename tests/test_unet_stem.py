@@ -107,3 +107,31 @@ def test_fast_variant_serving_engines():
     cls8 = make_fast_int8_predict_fn(model, variables, [np.asarray(x)],
                                      argmax=True)(x)
     assert cls8.shape == (2, 64, 64) and cls8.dtype == jnp.int32
+
+
+def test_fast_variant_sa_serving_engines():
+    """The SA fast variant rides the same serve/int8 packs (per-pixel
+    gates in the inner standard-layout graph)."""
+    from insarseg.models.unet_stem import (
+        make_fast_int8_predict_fn,
+        make_fast_serve_predict_fn,
+    )
+
+    rng = np.random.default_rng(5)
+    model = UNetFastS2D(num_classes=2, level1_features=32, use_sa=True)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    stats = jax.tree.map(
+        lambda v: jnp.abs(v + 0.04 * jnp.arange(v.size, dtype=v.dtype)
+                          .reshape(v.shape)) if v.ndim else v,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+    want = model.apply(variables, x, train=False)
+
+    got = make_fast_serve_predict_fn(model, variables)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+    got8 = make_fast_int8_predict_fn(model, variables, [np.asarray(x)])(x)
+    corr = np.corrcoef(np.asarray(got8, np.float32).ravel(),
+                       np.asarray(want).ravel())[0, 1]
+    assert corr > 0.98, corr
