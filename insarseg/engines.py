@@ -88,7 +88,8 @@ def make_engine(
         )
 
         if engine == "serve":
-            return make_fast_serve_predict_fn(model, variables, argmax=argmax)
+            return make_fast_serve_predict_fn(model, variables, argmax=argmax,
+                                              input_dtype=input_dtype)
         return make_fast_int8_predict_fn(model, variables, calib_batches,
                                          argmax=argmax)
     if model_name == "unet":

@@ -104,9 +104,11 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         branches = [_ca(y, pa["b0"])]
         for i, rate in enumerate(pa["rates"], start=1):
             branches.append(_ca(y, pa[f"b{i}"], dilation=rate))
-        rec("aspp.cat", *branches)
         p = _ca(jnp.mean(y, axis=(1, 2), keepdims=True), pa["pool"])
         branches.append(jnp.broadcast_to(p, y.shape[:3] + (p.shape[-1],)))
+        # the image-pool branch is requantized at this same concat scale in
+        # the int8 forward, so it must participate in the calibration
+        rec("aspp.cat", *branches)
         proj = _ca(jnp.concatenate(branches, axis=-1), pa["project"])
         rec("aspp.proj", proj)
     elif pf["kind"] == "fcn":

@@ -189,7 +189,8 @@ def pack_unet_s2d(variables: Dict[str, Any]) -> Dict[str, Any]:
     for i in range(1, 4):
         packed[f"up{i}"] = {
             "k": jnp.asarray(p[f"up{i}"]["kernel"]),
-            "bias": jnp.asarray(p[f"up{i}"].get("bias")),
+            "bias": jnp.asarray(p[f"up{i}"]["bias"])
+            if "bias" in p[f"up{i}"] else None,
         }
         packed[f"conv{i}"] = _fold_dc(p[f"conv{i}"], s[f"conv{i}"])
     # up4: ConvT(k2,s2, 2f->f) -> W-only lhs-dilated conv emitting the s2d

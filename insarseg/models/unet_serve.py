@@ -100,9 +100,11 @@ def unet_serve_apply(packed: Dict[str, Any], x: jnp.ndarray,
         feats[f"l{i + 1}"] = (y, g_next)
         g = g_next
 
-    y = _gated(y, g)  # bottom enters the decoder gated (fuses into up1)
     for i, skip in ((1, "l4"), (2, "l3"), (3, "l2"), (4, "l1")):
-        z = _conv_transpose_k2s2(y, packed[f"up{i}"]["k"],
+        # each block's deferred gate lands on the (small) transposed-conv
+        # input — the multiply fuses into the ConvT's input fusion, same as
+        # the bottom's gate into up1
+        z = _conv_transpose_k2s2(_gated(y, g), packed[f"up{i}"]["k"],
                                  packed[f"up{i}"]["bias"])
         sk, gsk = feats[skip]
         # gate AFTER the concat (pad with ones over the z half): the

@@ -86,9 +86,11 @@ def _inner_variables(variables):
 
 
 def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
-                               argmax: bool = False):
-    """Exact bf16 serving of the fast variant: deferred-SE graph
-    (insarseg/models/unet_serve.py) on the inner UNet, s2d/d2s at the rim."""
+                               argmax: bool = False, input_dtype=None):
+    """Exact serving of the fast variant: deferred-SE graph
+    (insarseg/models/unet_serve.py) on the inner UNet, s2d/d2s at the rim.
+    ``input_dtype`` casts the incoming images (e.g. bf16) like the other
+    serve factories — the graph follows the input dtype."""
     import jax
 
     from insarseg.models.unet_serve import pack_unet_serve, unet_serve_apply
@@ -98,6 +100,8 @@ def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
 
     @jax.jit
     def predict(images):
+        if input_dtype is not None:
+            images = images.astype(input_dtype)
         y = unet_serve_apply(packed, space_to_depth(images, f))
         if argmax:
             b, h, w, _ = y.shape

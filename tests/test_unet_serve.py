@@ -56,6 +56,44 @@ def test_serve_matches_unet_sa():
                                rtol=0, atol=1e-4)
 
 
+def test_serve_matches_unet_trained():
+    """Parity must hold on TRAINED weights. Fresh-init SE gates are ~0.5
+    uniform, which once masked a dropped decoder gate (the deferred gates of
+    conv1..conv3 were never applied — 51% relative logit error on a trained
+    model while this file stayed green); train first so every gate is
+    informative."""
+    import optax
+
+    from insarseg.train.engine import create_state, make_train_step
+
+    rng = np.random.default_rng(5)
+
+    def batch(n=8):
+        base = rng.standard_normal((n, 4, 4, 1)).astype(np.float32)
+        img = np.array(jax.image.resize(jnp.asarray(base), (n, 32, 32, 1),
+                                        "linear"))
+        img += 0.05 * rng.standard_normal(img.shape).astype(np.float32)
+        return jnp.asarray(img), jnp.asarray(
+            (img[..., 0] > 0.0).astype(np.int32))
+
+    model = UNet(num_classes=2, base_features=16, use_se=True)
+    img, mask = batch()
+    state = create_state(model, jax.random.key(0), img, tx=optax.adam(3e-3))
+    step = make_train_step(model, num_classes=2, normalize=None)
+    key = jax.random.key(1)
+    for _ in range(25):
+        img, mask = batch()
+        key, k = jax.random.split(key)
+        state, _ = step(state, img, mask, k)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    x, _ = batch(4)
+    want = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(unet_serve_apply(pack_unet_serve(variables), x))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4 * max(scale, 1.0))
+
+
 def test_serve_argmax_and_jit():
     model, variables = _init(True)
     rng = np.random.default_rng(1)
