@@ -50,8 +50,8 @@ from insarseg.models.resnet_serve import (
     pack_resnet_serve,
 )
 from insarseg.ops.layers import max_pool_2d
-
-_QMAX = 127.0
+from insarseg.ops.quant import absmax_to_scale, quant_weight
+from insarseg.ops.quant import requant as _requant
 
 
 # ---------------------------------------------------------------------------
@@ -123,19 +123,11 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 # packing
 # ---------------------------------------------------------------------------
 
-def _quant_weight(k: jnp.ndarray) -> Dict[str, np.ndarray]:
-    k = np.asarray(k, np.float32)
-    s = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / _QMAX
-    s = np.maximum(s, 1e-12)
-    q = np.clip(np.rint(k / s), -127, 127).astype(np.int8)
-    return {"q": q, "ws": s}
-
-
 def _qconv(c: Dict, s_in: float, s_out: Optional[float],
            relu: bool = True) -> Dict[str, Any]:
     """Folded conv {'k','s','b'} (or bare {'k'}) -> int8 conv pack with the
     dequant/affine(+relu)(+requant) epilogue parameters."""
-    qw = _quant_weight(c["k"])
+    qw = quant_weight(c["k"])
     mult = s_in * qw["ws"]
     if "s" in c:
         mult = mult * np.asarray(c["s"], np.float32)
@@ -163,7 +155,7 @@ def pack_resnet_int8(
         cur = jax.device_get(replay(jnp.asarray(batch, jnp.float32)))
         for k, v in cur.items():
             am[k] = max(am.get(k, 0.0), float(v))
-    scales = {k: max(v, 1e-12) / _QMAX for k, v in am.items()}
+    scales = {k: absmax_to_scale(v) for k, v in am.items()}
 
     pb = pf["backbone"]
     packed: Dict[str, Any] = {
@@ -229,10 +221,6 @@ def pack_resnet_int8(
 # ---------------------------------------------------------------------------
 # int8 forward
 # ---------------------------------------------------------------------------
-
-def _requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
-    return jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
-
 
 def _conv_i8(xq: jnp.ndarray, c: Dict, stride: int = 1,
              dilation: int = 1) -> jnp.ndarray:

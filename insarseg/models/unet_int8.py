@@ -52,8 +52,8 @@ from insarseg.models.unet_s2d import (
     pack_unet_folded,
     pack_unet_s2d,
 )
-
-_QMAX = 127.0
+from insarseg.ops.quant import absmax_to_scale, quant_weight
+from insarseg.ops.quant import requant as _requant
 
 
 # ---------------------------------------------------------------------------
@@ -158,15 +158,6 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray,
 # packing
 # ---------------------------------------------------------------------------
 
-def _quant_weight(k: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Per-output-channel symmetric int8 quantization of an HWIO kernel."""
-    k = np.asarray(k, np.float32)
-    s = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / _QMAX
-    s = np.maximum(s, 1e-12)
-    q = np.clip(np.rint(k / s), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "ws": jnp.asarray(s)}
-
-
 def pack_unet_int8(
     variables: Dict[str, Any],
     calib_batches: List[jnp.ndarray],
@@ -202,7 +193,7 @@ def pack_unet_int8(
         cur = jax.device_get(replay(pf, jnp.asarray(batch, jnp.float32)))
         for k, v in cur.items():
             am[k] = max(am.get(k, 0.0), float(v))
-    scales = {k: max(v, 1e-12) / _QMAX for k, v in am.items()}
+    scales = {k: absmax_to_scale(v) for k, v in am.items()}
 
     packed: Dict[str, Any] = {"scales": scales, "s2d": s2d}
     # (input scale, t1 scale, output scale-or-None) per DoubleConv; None out
@@ -230,12 +221,12 @@ def pack_unet_int8(
             ("c1", "k1", "s1", "b1", s_in, s_t1),
             ("c2", "k2", "s2", "b2", s_t1, s_c2_out),
         ):
-            qw = _quant_weight(src[kname])
-            mult = scales[s_src] * np.asarray(qw["ws"]) \
+            qw = quant_weight(src[kname])
+            mult = scales[s_src] * qw["ws"] \
                 * np.asarray(src[sname], np.float32)
             off = np.asarray(src[bname], np.float32)
             blk[tag] = {
-                "q": qw["q"],
+                "q": jnp.asarray(qw["q"]),
                 "mult": jnp.asarray(mult),
                 "off": jnp.asarray(off),
                 # requant divisor (None -> bf16 exit from the conv epilogue)
@@ -304,10 +295,6 @@ def _conv_i8(xq: jnp.ndarray, blk: Dict) -> jnp.ndarray:
     if blk["out_s"] is None:
         return y.astype(jnp.bfloat16)
     return _requant(y, blk["out_s"])
-
-
-def _requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
-    return jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
 
 
 def _sparse_conv(stacks, xs: List[jnp.ndarray], c: Dict) -> jnp.ndarray:

@@ -1,0 +1,42 @@
+"""Shared int8 post-training-quantization primitives.
+
+One definition of the symmetric-int8 contract used by every PTQ engine
+(insarseg/models/unet_int8.py, resnet_int8.py), so a change to rounding,
+scale flooring, or the code range lands everywhere at once:
+
+- weights: per-output-channel symmetric absmax scales, codes in [-127, 127]
+  (the -128 code is unused, keeping the scale symmetric);
+- activations: per-tensor scales derived from calibration absmax with a
+  1e-12 floor (all-zero calibration tensors quantize to zero, not NaN);
+- requantization: round-half-even (`rint`, matching XLA's epilogue
+  rounding) then clip to [-127, 127].
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+QMAX = 127.0
+
+
+def quant_weight(k) -> Dict[str, np.ndarray]:
+    """HWIO (or 2-D) kernel -> {'q': int8 codes, 'ws': per-out-channel
+    scales}, symmetric absmax over all non-output axes."""
+    k = np.asarray(k, np.float32)
+    s = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / QMAX
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.rint(k / s), -127, 127).astype(np.int8)
+    return {"q": q, "ws": s}
+
+
+def absmax_to_scale(absmax: float) -> float:
+    """Calibrated tensor absmax -> activation scale (floored)."""
+    return max(float(absmax), 1e-12) / QMAX
+
+
+def requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
+    """f32 values -> int8 codes at scale ``s``."""
+    return jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
