@@ -85,7 +85,13 @@ def cmd_train(args) -> int:
         train_loader = PrefetchLoader(train_loader)
         val_loader = PrefetchLoader(val_loader)
     model = build_model(cfg)
-    ckpt = Checkpointer(os.path.dirname(cfg.model_save_path) or ".")
+    # per-run checkpoint directory derived from the preset's save path
+    # (model_save_path minus extension): presets must not clobber each
+    # other's best/latest, and --resume must never restore another preset's
+    # state. Pass this directory to eval/predict --checkpoint.
+    ckpt_dir = os.path.splitext(cfg.model_save_path)[0] or "."
+    ckpt = Checkpointer(ckpt_dir)
+    print(f"checkpoints -> {ckpt_dir}/{{best,latest}}")
     history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt,
                          resume=args.resume)
     if args.resume and os.path.exists(cfg.metrics_save_path):
@@ -110,12 +116,23 @@ def cmd_eval(args) -> int:
 
     cfg = _build_cfg(args)
     model = build_model(cfg)
-    ds = VOCSegDataset(cfg.voc_root, cfg.image_size, args.split,
-                       mask_contract=cfg.mask_contract,
-                       normalize_mean=cfg.normalize_mean,
-                       normalize_std=cfg.normalize_std,
-                       ignore_index=cfg.ignore_index)
-    loader = BatchLoader(ds, cfg.batch_size, ignore_index=cfg.ignore_index)
+    ds_cls = VOCSegDataset
+    if args.native:
+        from insarseg.data.native_loader import NativeVOCSegDataset
+
+        ds_cls = NativeVOCSegDataset
+    ds = ds_cls(cfg.voc_root, cfg.image_size, args.split,
+                mask_contract=cfg.mask_contract,
+                normalize_mean=cfg.normalize_mean,
+                normalize_std=cfg.normalize_std,
+                ignore_index=cfg.ignore_index,
+                raw_u8=args.raw_u8)
+    loader = BatchLoader(ds, cfg.batch_size, ignore_index=cfg.ignore_index,
+                         num_workers=args.num_workers)
+    if args.native:
+        from insarseg.data.native_loader import PrefetchLoader
+
+        loader = PrefetchLoader(loader)
 
     variables = _load_variables(args, cfg, model)
     engine_name = getattr(args, "engine", "module") or "module"
@@ -129,7 +146,10 @@ def cmd_eval(args) -> int:
         calib = None
         if engine_name == "int8":
             # calibrate on the first validation batch (real data)
-            first = next(iter(loader))
+            peek = iter(loader)
+            first = next(peek)
+            if hasattr(peek, "close"):
+                peek.close()
             img = np.asarray(first["image"], np.float32)
             if first["image"].dtype == np.uint8:
                 img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
@@ -140,8 +160,9 @@ def cmd_eval(args) -> int:
             predict, cfg.num_classes, cfg.ignore_index,
             normalize=(cfg.normalize_mean, cfg.normalize_std))
     else:
-        eval_step = engine.make_eval_step(model, cfg.num_classes,
-                                          cfg.ignore_index)
+        eval_step = engine.make_eval_step(
+            model, cfg.num_classes, cfg.ignore_index,
+            normalize=(cfg.normalize_mean, cfg.normalize_std))
     res = engine.evaluate(eval_step, variables["params"],
                           variables["batch_stats"], loader,
                           cfg.metrics_version, cfg.metrics_mode)
@@ -218,7 +239,10 @@ def cmd_predict(args) -> int:
     )
     pred = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
     out = args.output or (os.path.splitext(args.input)[0] + "_pred.png")
-    Image.fromarray(pred * 255, "L").save(out)
+    # spread class labels over the gray range without uint8 wraparound
+    # (255 only works for the binary case; class 2 of 3 would wrap to 254)
+    gray_step = max(255 // max(cfg.num_classes - 1, 1), 1)
+    Image.fromarray(pred * np.uint8(gray_step), "L").save(out)
     print(f"prediction written to {out}")
     return 0
 

@@ -148,10 +148,13 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         _END = object()
         err = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self.loader:
+                    if stop.is_set():
+                        return  # abandoned consumer: drop the source iter
                     q.put(batch)
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
@@ -160,13 +163,24 @@ class PrefetchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # consumer closed early (e.g. fit()'s shape-probe peek): unblock
+            # the worker's q.put by draining until the thread exits, so no
+            # thread/queued-batch leaks outlive the iterator
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
 
 
 def stitch_accumulate_host(acc: np.ndarray, den: np.ndarray, tile: np.ndarray,

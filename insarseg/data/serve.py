@@ -31,17 +31,10 @@ from typing import Callable, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from insarseg.data.native_loader import normalize_batch_host, stitch_accumulate_host
-from insarseg.data.stitch import _window, plan_tiles
+from insarseg.data.stitch import _window, plan_tiles, tile_starts as _starts
 
 Reader = Union[np.ndarray, Callable[[int, int], np.ndarray]]
 Writer = Union[np.ndarray, Callable[[int, np.ndarray], None]]
-
-
-def _starts(n: int, tile: int, stride: int) -> list:
-    s = list(range(0, n - tile + 1, stride))
-    if s[-1] != n - tile:
-        s.append(n - tile)
-    return s
 
 
 def _read_band(reader: Reader, r0: int, nrows: int) -> np.ndarray:

@@ -30,20 +30,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def tile_starts(n: int, tile: int, stride: int) -> List[int]:
+    """Tile origins along one axis: stride-spaced, the last clamped flush to
+    the border (shared by in-memory planning and the streaming reader)."""
+    s = list(range(0, n - tile + 1, stride))
+    if s[-1] != n - tile:
+        s.append(n - tile)
+    return s
+
+
 def plan_tiles(h: int, w: int, tile: int, overlap: int) -> List[Tuple[int, int]]:
     """Static (row, col) origins covering (h, w) with the given overlap; the
     last tile in each axis is clamped flush to the border."""
     assert 0 <= overlap < tile, (tile, overlap)
     assert h >= tile and w >= tile, (h, w, tile)
     stride = tile - overlap
-
-    def starts(n):
-        s = list(range(0, n - tile + 1, stride))
-        if s[-1] != n - tile:
-            s.append(n - tile)
-        return s
-
-    return [(r, c) for r in starts(h) for c in starts(w)]
+    return [(r, c) for r in tile_starts(h, tile, stride)
+            for c in tile_starts(w, tile, stride)]
 
 
 def _window(tile: int, kind: str) -> np.ndarray:

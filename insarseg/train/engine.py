@@ -71,6 +71,16 @@ def create_state(
     )
 
 
+def _to_float(image, normalize: Optional[tuple]):
+    """On-device uint8 -> normalized float (raw-u8 loaders ship bytes);
+    ``normalize=None`` means ToTensor semantics only (scale to [0, 1])."""
+    if image.dtype != jnp.uint8:
+        return image
+    if normalize is None:
+        return image.astype(jnp.float32) / 255.0
+    return normalize_u8(image, *normalize)
+
+
 def make_train_step(
     model, num_classes: int, ignore_index: int = 255,
     augment: bool = False, normalize: Optional[tuple] = (0.5, 0.5),
@@ -78,14 +88,20 @@ def make_train_step(
     """Build the jitted train step: (state, image, mask, rng) ->
     (state, {loss, counts...}).
 
+    ``rng`` is a BASE key: the step folds ``state.step`` into it on-device,
+    so the caller passes the SAME key every step — no per-step host-side
+    ``split`` (one fewer ~30 ms dispatch per step on the axon tunnel), and a
+    resumed run (restored ``state.step``) continues the exact augmentation/
+    dropout stream of the crashed one.
+
     ``augment`` applies a random on-device D4 transform per sample. uint8
     images are normalized on-device with ``normalize=(mean, std)`` — ship
     raw bytes from the host, 4x less transfer.
     """
 
     def step(state: TrainState, image, mask, rng):
-        if image.dtype == jnp.uint8:
-            image = normalize_u8(image, *normalize)
+        rng = jax.random.fold_in(rng, state.step)
+        image = _to_float(image, normalize)
         if augment:
             rng, aug_rng = jax.random.split(rng)
             image, mask = random_dihedral(aug_rng, image, mask)
@@ -115,8 +131,7 @@ def make_train_step(
 def make_eval_step(model, num_classes: int, ignore_index: int = 255,
                    normalize: Optional[tuple] = (0.5, 0.5)) -> Callable:
     def step(params, batch_stats, image, mask):
-        if image.dtype == jnp.uint8:
-            image = normalize_u8(image, *normalize)
+        image = _to_float(image, normalize)
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, image, train=False
         )
@@ -137,8 +152,7 @@ def make_engine_eval_step(predict: Callable, num_classes: int,
 
     def step(params, batch_stats, image, mask):
         del params, batch_stats  # baked into the packed engine
-        if image.dtype == jnp.uint8:
-            image = normalize_u8(image, *normalize)
+        image = _to_float(image, normalize)
         logits = predict(image).astype(jnp.float32)
         loss = cross_entropy_loss(logits, mask, ignore_index)
         counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
@@ -235,12 +249,21 @@ def fit(
     GSPMD with no further changes (SURVEY.md §2.4).
     """
     rng = jax.random.key(cfg.seed) if rng is None else rng
-    first = next(iter(train_loader))
+    # shape-probe peek: loaders must be RE-ITERABLE (each epoch calls
+    # iter() afresh); close the probe iterator so prefetch threads exit
+    peek = iter(train_loader)
+    first = next(peek)
+    if hasattr(peek, "close"):
+        peek.close()
 
     mesh = None
     if len(jax.devices()) > 1 or cfg.mesh_spatial > 1 or cfg.mesh_data > 1:
         from insarseg.parallel import make_mesh, replicate, shard_batch
 
+        if cfg.mesh_spatial > len(jax.devices()):
+            raise ValueError(
+                f"mesh_spatial={cfg.mesh_spatial} exceeds the "
+                f"{len(jax.devices())} visible devices")
         batch_size = first["image"].shape[0]
         want = cfg.mesh_data
         if want <= 0:
@@ -300,10 +323,11 @@ def fit(
             train_loader.set_epoch(epoch)
         avg = _Averager(cfg.metrics_version, cfg.metrics_mode)
         for i, batch in enumerate(train_loader):
-            rng, step_rng = jax.random.split(rng)
             placed = place(batch)
+            # rng is the BASE key: the jitted step folds state.step into it
+            # on-device (no per-step host dispatch; resume-continuous stream)
             state, out = train_step(
-                state, placed["image"], placed["mask"], step_rng
+                state, placed["image"], placed["mask"], rng
             )
             avg.update(out, batch["n_valid"])
             if verbose and (i + 1) % cfg.log_every_steps == 0:

@@ -32,13 +32,15 @@ def test_cli_train_eval_export_roundtrip(workdir):
                    "--model-save-path", "ckpt/m", "--metrics-save-path",
                    "hist.json"])
     assert rc == 0 and os.path.exists("hist.json")
-    assert os.path.isdir("ckpt/best")
+    # checkpoints land in a per-run dir named after model_save_path minus
+    # extension, so presets can't clobber each other's best/latest
+    assert os.path.isdir("ckpt/m/best")
 
-    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--checkpoint", "ckpt",
-                   "--split", "val"])
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc",
+                   "--checkpoint", "ckpt/m", "--split", "val"])
     assert rc == 0
 
-    rc = cli_main(["export-torch", *BASE, "--checkpoint", "ckpt",
+    rc = cli_main(["export-torch", *BASE, "--checkpoint", "ckpt/m",
                    "--output", "exported.pth"])
     assert rc == 0 and os.path.exists("exported.pth")
 
