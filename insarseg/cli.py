@@ -92,6 +92,13 @@ def cmd_train(args) -> int:
     ckpt_dir = os.path.splitext(cfg.model_save_path)[0] or "."
     ckpt = Checkpointer(ckpt_dir)
     print(f"checkpoints -> {ckpt_dir}/{{best,latest}}")
+    if args.resume and not ckpt.has_latest():
+        old_dir = os.path.dirname(cfg.model_save_path) or "."
+        print(f"warning: --resume found no latest checkpoint under "
+              f"{ckpt_dir!r}; training starts from step 0. Checkpoints from "
+              f"runs before the per-preset layout lived under {old_dir!r} — "
+              "move them into the per-preset dir to resume from them.",
+              file=sys.stderr)
     history = engine.fit(model, cfg, train_loader, val_loader, checkpointer=ckpt,
                          resume=args.resume)
     if args.resume and os.path.exists(cfg.metrics_save_path):
@@ -176,7 +183,7 @@ def cmd_predict(args) -> int:
 
     from insarseg.data.stitch import sliding_window_inference
     from insarseg.models.registry import build_model
-    from insarseg.parallel import make_mesh, make_predict_fn, replicate
+    from insarseg.parallel import make_mesh
 
     cfg = _build_cfg(args)
     model = build_model(cfg)
@@ -196,8 +203,6 @@ def cmd_predict(args) -> int:
         raise SystemExit(
             f"--engine {engine_name} does not support "
             f"({cfg.model}, {cfg.attention})")
-    if engine_name != "module":
-        mesh = None  # single-program engines run on the default device
 
     def _scene_calib():
         from insarseg.data.stitch import extract_tiles, plan_tiles
@@ -209,15 +214,13 @@ def cmd_predict(args) -> int:
         padded = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
         return [np.asarray(extract_tiles(padded, pos, args.tile))]
 
-    if engine_name != "module":
-        eng = make_engine(
-            cfg.model, cfg.attention, model, variables, engine_name,
-            calib_batches=_scene_calib() if engine_name == "int8" else None)
-        predict = lambda _v, t: eng(t)  # noqa: E731
-    else:
-        predict = make_predict_fn(model, mesh=mesh)
-        if mesh is not None:
-            variables = replicate(variables, mesh)
+    # every engine (module/serve/int8) is mesh-shardable: the tile batch
+    # shards over the 'data' axis, weights replicate over ICI
+    eng = make_engine(
+        cfg.model, cfg.attention, model, variables, engine_name,
+        calib_batches=_scene_calib() if engine_name == "int8" else None,
+        mesh=mesh)
+    predict = lambda _v, t: eng(t)  # noqa: E731
 
     tile_batch = args.tile_batch
     if mesh is not None:

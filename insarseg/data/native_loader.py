@@ -163,11 +163,13 @@ class PrefetchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
+        raised = False
         try:
             while True:
                 item = q.get()
                 if item is _END:
                     if err:
+                        raised = True
                         raise err[0]
                     return
                 yield item
@@ -181,6 +183,10 @@ class PrefetchLoader:
                     q.get(timeout=0.05)
                 except queue.Empty:
                     pass
+            if err and not raised:
+                # a loader failure that raced the early-close window must
+                # not be swallowed by the drain
+                raise err[0]
 
 
 def stitch_accumulate_host(acc: np.ndarray, den: np.ndarray, tile: np.ndarray,

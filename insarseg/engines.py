@@ -14,6 +14,13 @@ One entry point over the per-family serving graphs:
   fast variant, and all DeepLabV3/FCN/PSPNet cells (resnet_int8.py).
   Not parity-preserving.
 
+Every engine is mesh-shardable: pass ``mesh`` (a ('data','spatial') mesh
+from insarseg.parallel.make_mesh) and the packed predict jits with the
+image batch sharded over the ``data`` axis and the packed weights
+replicated — embarrassingly parallel over ICI, proven 8-way == 1-way in
+tests/test_engines_mesh.py. The reference is single-device only
+(/root/reference/Unet-ChannalAttention.py:32 pins one GPU).
+
 UNet-SA routes through the folded STANDARD-layout graphs for both fast
 engines (its per-pixel gates are meaningless across s2d parity lanes).
 Measured note: SA int8 is functional but SLOWER than its module graph
@@ -24,27 +31,48 @@ matters. Every (model, attention, engine) cell is covered.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 ENGINES = ("module", "serve", "int8")
+KNOWN_MODELS = ("unet", "unet-fast", "deeplabv3", "fcn", "pspnet")
 
 
 def supported(model_name: str, attention: str, engine: str) -> bool:
     """Whether (model, attention) runs on ``engine``."""
-    if engine == "module":
-        return True
-    if engine not in ENGINES:
+    model_name = model_name.lower().replace("_", "-")
+    if engine not in ENGINES or model_name not in KNOWN_MODELS:
         return False
-    if model_name == "unet":
-        # every cell: SA serves/quantizes via the folded STANDARD-layout
-        # graph (per-pixel gates are meaningless across s2d parity lanes)
-        return True
-    if model_name in ("unet-fast", "unet_fast"):
-        return True  # SA rides the inner standard-layout packs too
-    return model_name in ("deeplabv3", "fcn", "pspnet")
+    # every cell of every known model runs on every engine: UNet-SA
+    # serves/quantizes via the folded STANDARD-layout graph (per-pixel
+    # gates are meaningless across s2d parity lanes)
+    return True
+
+
+def check_hw(shape: Tuple[int, ...], hdiv: int, wdiv: int,
+             engine: str, model: str) -> None:
+    """Trace-time guard for the packed engines' shape envelope.
+
+    The serve/int8 graphs hand-unroll the 5-level pooling pyramid with
+    static shapes (and omit the CA variant's bilinear ``shape_fix`` resize,
+    /root/reference/Unet-ChannalAttention.py:138-157 — with the divisibility
+    below every level is even, so the resize path never triggers and the
+    omission is exact). Non-conforming sizes would fail deep inside lax
+    with an opaque shape error; reject them here with a pointer at the
+    envelope-free module graph.
+    """
+    if len(shape) != 4:
+        raise ValueError(
+            f"engine {engine!r} ({model}) expects NHWC images, got shape "
+            f"{tuple(shape)}")
+    _, h, w, _ = shape
+    if h % hdiv or w % wdiv:
+        raise ValueError(
+            f"engine {engine!r} ({model}) requires H divisible by {hdiv} "
+            f"and W divisible by {wdiv}; got H={h}, W={w}. Pad the input "
+            "or use --engine module (no shape envelope).")
 
 
 def make_engine(
@@ -56,27 +84,37 @@ def make_engine(
     calib_batches: Optional[List[jnp.ndarray]] = None,
     argmax: bool = False,
     input_dtype: Optional[Any] = None,
+    mesh: Optional[Any] = None,
 ):
     """Build a jitted ``predict(images) -> logits | int32 class map``.
 
     ``calib_batches`` (normalized f32 input batches) is required for
-    ``engine='int8'``.
+    ``engine='int8'``. With ``mesh``, the predict is jitted with the image
+    batch sharded over the mesh's ``data`` axis (weights replicated).
     """
     model_name = model_name.lower().replace("_", "-")
     if not supported(model_name, attention, engine):
+        if engine not in ENGINES:
+            raise ValueError(
+                f"unknown engine {engine!r}; choose from {ENGINES}")
+        if model_name not in KNOWN_MODELS:
+            raise ValueError(
+                f"unknown model {model_name!r}; known models: "
+                f"{KNOWN_MODELS}")
         raise ValueError(
-            f"engine {engine!r} does not support ({model_name}, {attention}); "
-            "supported: every (model, attention) cell on every engine")
+            f"engine {engine!r} does not support ({model_name}, "
+            f"{attention}); use --engine module")
 
     if engine == "module":
-        @jax.jit
-        def predict(images):
-            if input_dtype is not None:
-                images = images.astype(input_dtype)
-            y = model.apply(variables, images, train=False)
-            return jnp.argmax(y, -1).astype(jnp.int32) if argmax else y
+        from insarseg.parallel.inference import make_predict_fn
 
-        return predict
+        predict_v = make_predict_fn(model, mesh=mesh, argmax=argmax,
+                                    input_dtype=input_dtype)
+        if mesh is not None:
+            from insarseg.parallel.mesh import replicate
+
+            variables = replicate(variables, mesh)
+        return lambda images: predict_v(variables, images)
 
     if engine == "int8" and calib_batches is None:
         raise ValueError("engine='int8' needs calib_batches")
@@ -89,25 +127,50 @@ def make_engine(
 
         if engine == "serve":
             return make_fast_serve_predict_fn(model, variables, argmax=argmax,
-                                              input_dtype=input_dtype)
+                                              input_dtype=input_dtype,
+                                              mesh=mesh)
         return make_fast_int8_predict_fn(model, variables, calib_batches,
-                                         argmax=argmax)
+                                         argmax=argmax, mesh=mesh)
     if model_name == "unet":
         if engine == "serve":
             from insarseg.models.unet_serve import make_serve_predict_fn
 
             return make_serve_predict_fn(model, variables, argmax=argmax,
-                                         input_dtype=input_dtype)
+                                         input_dtype=input_dtype, mesh=mesh)
         from insarseg.models.unet_int8 import make_int8_predict_fn
 
         return make_int8_predict_fn(variables, calib_batches, argmax=argmax,
-                                    s2d=attention != "spatial")
+                                    s2d=attention != "spatial", mesh=mesh)
 
     if engine == "serve":
         from insarseg.models.resnet_serve import make_resnet_serve_predict_fn
 
         return make_resnet_serve_predict_fn(variables, argmax=argmax,
-                                            input_dtype=input_dtype)
+                                            input_dtype=input_dtype,
+                                            mesh=mesh)
     from insarseg.models.resnet_int8 import make_resnet_int8_predict_fn
 
-    return make_resnet_int8_predict_fn(variables, calib_batches, argmax=argmax)
+    return make_resnet_int8_predict_fn(variables, calib_batches,
+                                       argmax=argmax, mesh=mesh)
+
+
+def jit_engine(predict, mesh: Optional[Any]):
+    """jit a packed ``predict(images)`` — plain on one device, or with the
+    batch sharded over the mesh's ``data`` axis (the packed weights are
+    closure constants; `mesh_replicate_packed` places them replicated)."""
+    if mesh is None:
+        return jax.jit(predict)
+    from insarseg.parallel.mesh import batch_sharding
+
+    return jax.jit(predict,
+                   in_shardings=(batch_sharding(mesh, spatial_axis=None),))
+
+
+def mesh_replicate_packed(packed: Any, mesh: Optional[Any]) -> Any:
+    """Replicate a packed engine tree's array leaves over the mesh; Python
+    scalars/None stay untouched (they drive trace-time branching)."""
+    if mesh is None:
+        return packed
+    from insarseg.parallel.mesh import replicate_arrays
+
+    return replicate_arrays(packed, mesh)

@@ -310,12 +310,19 @@ def resnet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
 
 def make_resnet_int8_predict_fn(variables: Dict[str, Any],
                                 calib_batches: List[jnp.ndarray],
-                                argmax: bool = False):
-    """Calibrate + pack once; return a jitted int8 ``predict(images)``."""
-    packed = pack_resnet_int8(variables, calib_batches)
+                                argmax: bool = False,
+                                mesh=None):
+    """Calibrate + pack once; return a jitted int8 ``predict(images)``.
 
-    @jax.jit
+    With ``mesh`` the batch shards over the mesh's ``data`` axis (codes and
+    scales replicated) — the graph has no cross-batch ops, so 8-way ==
+    1-way bit-exactly (tests/test_engines_mesh.py)."""
+    from insarseg.engines import jit_engine, mesh_replicate_packed
+
+    packed = mesh_replicate_packed(pack_resnet_int8(variables, calib_batches),
+                                   mesh)
+
     def predict(images):
         return resnet_int8_apply(packed, images, argmax=argmax)
 
-    return predict
+    return jit_engine(predict, mesh)

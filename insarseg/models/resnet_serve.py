@@ -327,14 +327,21 @@ def pack_resnet_serve(variables: Dict[str, Any]) -> Dict[str, Any]:
 
 def make_resnet_serve_predict_fn(variables: Dict[str, Any],
                                  argmax: bool = False,
-                                 input_dtype: Optional[Any] = None):
-    """Pack once, return a jitted ``predict(images)`` on the folded graph."""
-    packed = pack_resnet_serve(variables)
+                                 input_dtype: Optional[Any] = None,
+                                 mesh=None):
+    """Pack once, return a jitted ``predict(images)`` on the folded graph.
 
-    @jax.jit
+    With ``mesh`` the batch shards over the mesh's ``data`` axis (weights
+    replicated). No H/W envelope: the strided stem and dilated layers pad
+    like the module graph and the head resizes back to the input size.
+    """
+    from insarseg.engines import jit_engine, mesh_replicate_packed
+
+    packed = mesh_replicate_packed(pack_resnet_serve(variables), mesh)
+
     def predict(images):
         if input_dtype is not None:
             images = images.astype(input_dtype)
         return resnet_serve_apply(packed, images, argmax=argmax)
 
-    return predict
+    return jit_engine(predict, mesh)

@@ -184,6 +184,15 @@ def pack_unet_int8(
     Trace tables in BASELINE.md. 'auto' therefore resolves to 'xla';
     'pallas' stays opt-in until the whole L1 stage (c1+c2+pool+gates)
     lives inside one kernel with only layout-cheap rim tensors."""
+    if l1_kernel not in ("auto", "xla", "pallas", "fused"):
+        raise ValueError(
+            f"unknown l1_kernel {l1_kernel!r}; expected one of "
+            "'auto', 'xla', 'pallas', 'fused'")
+    if l1_kernel in ("pallas", "fused") and not s2d:
+        raise ValueError(
+            f"l1_kernel={l1_kernel!r} requires s2d=True — the block-sparse "
+            "L1 kernels operate on the H-s2d layout; the standard-layout "
+            "graph has no pallas path")
     pf = pack_unet_s2d(variables) if s2d else pack_unet_folded(variables)
     import functools
 
@@ -452,13 +461,24 @@ def make_int8_predict_fn(variables: Dict[str, Any],
                          calib_batches: List[jnp.ndarray],
                          argmax: bool = False,
                          s2d: bool = True,
-                         l1_kernel: str = "auto"):
-    """Calibrate + pack once; return a jitted int8 ``predict(images)``."""
-    packed = pack_unet_int8(variables, calib_batches, s2d=s2d,
-                            l1_kernel=l1_kernel)
+                         l1_kernel: str = "auto",
+                         mesh=None):
+    """Calibrate + pack once; return a jitted int8 ``predict(images)``.
 
-    @jax.jit
+    With ``mesh`` the batch shards over the mesh's ``data`` axis and the
+    packed codes/scales replicate (the graph has no cross-batch ops, so
+    8-way == 1-way bit-exactly — tests/test_engines_mesh.py).
+    """
+    from insarseg.engines import check_hw, jit_engine, mesh_replicate_packed
+
+    packed = mesh_replicate_packed(
+        pack_unet_int8(variables, calib_batches, s2d=s2d,
+                       l1_kernel=l1_kernel), mesh)
+    # the H-s2d graph halves H before the 5-level pyramid
+    hdiv = 32 if s2d else 16
+
     def predict(images):
+        check_hw(images.shape, hdiv, 16, "int8", "unet")
         return unet_int8_apply(packed, images, argmax=argmax)
 
-    return predict
+    return jit_engine(predict, mesh)

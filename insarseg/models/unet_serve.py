@@ -131,15 +131,21 @@ def unet_serve_apply(packed: Dict[str, Any], x: jnp.ndarray,
 
 
 def make_serve_predict_fn(model, variables, argmax: bool = False,
-                          input_dtype: Optional[Any] = None):
-    """Pack once, return a jitted ``predict(images)`` on the serving graph."""
-    del model  # packing is tree-driven
-    packed = pack_unet_serve(variables)
+                          input_dtype: Optional[Any] = None, mesh=None):
+    """Pack once, return a jitted ``predict(images)`` on the serving graph.
 
-    @jax.jit
+    With ``mesh`` the batch shards over the mesh's ``data`` axis and the
+    packed weights replicate (8-way == 1-way, tests/test_engines_mesh.py).
+    """
+    del model  # packing is tree-driven
+    from insarseg.engines import check_hw, jit_engine, mesh_replicate_packed
+
+    packed = mesh_replicate_packed(pack_unet_serve(variables), mesh)
+
     def predict(images):
+        check_hw(images.shape, 16, 16, "serve", "unet")
         if input_dtype is not None:
             images = images.astype(input_dtype)
         return unet_serve_apply(packed, images, argmax=argmax)
 
-    return predict
+    return jit_engine(predict, mesh)

@@ -86,20 +86,22 @@ def _inner_variables(variables):
 
 
 def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
-                               argmax: bool = False, input_dtype=None):
+                               argmax: bool = False, input_dtype=None,
+                               mesh=None):
     """Exact serving of the fast variant: deferred-SE graph
     (insarseg/models/unet_serve.py) on the inner UNet, s2d/d2s at the rim.
     ``input_dtype`` casts the incoming images (e.g. bf16) like the other
-    serve factories — the graph follows the input dtype."""
-    import jax
-
+    serve factories — the graph follows the input dtype. ``mesh`` shards
+    the batch over the mesh's ``data`` axis."""
+    from insarseg.engines import check_hw, jit_engine, mesh_replicate_packed
     from insarseg.models.unet_serve import pack_unet_serve, unet_serve_apply
 
     f, nc = model.factor, model.num_classes
-    packed = pack_unet_serve(_inner_variables(variables))
+    packed = mesh_replicate_packed(
+        pack_unet_serve(_inner_variables(variables)), mesh)
 
-    @jax.jit
     def predict(images):
+        check_hw(images.shape, 16 * f, 16 * f, "serve", "unet-fast")
         if input_dtype is not None:
             images = images.astype(input_dtype)
         y = unet_serve_apply(packed, space_to_depth(images, f))
@@ -109,25 +111,26 @@ def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
             return depth_to_space(cls.astype(jnp.int32), f)[..., 0]
         return depth_to_space(y, f)
 
-    return predict
+    return jit_engine(predict, mesh)
 
 
 def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
-                              argmax: bool = False):
+                              argmax: bool = False, mesh=None):
     """int8 PTQ serving of the fast variant: standard-layout (no-s2d)
     quantized graph (insarseg/models/unet_int8.py) on the inner UNet."""
-    import jax
     import numpy as np
 
+    from insarseg.engines import check_hw, jit_engine, mesh_replicate_packed
     from insarseg.models.unet_int8 import pack_unet_int8, unet_int8_apply
 
     f, nc = model.factor, model.num_classes
     calib = [np.asarray(space_to_depth(jnp.asarray(b, jnp.float32), f))
              for b in calib_batches]
-    packed = pack_unet_int8(_inner_variables(variables), calib, s2d=False)
+    packed = mesh_replicate_packed(
+        pack_unet_int8(_inner_variables(variables), calib, s2d=False), mesh)
 
-    @jax.jit
     def predict(images):
+        check_hw(images.shape, 16 * f, 16 * f, "int8", "unet-fast")
         y = unet_int8_apply(packed, space_to_depth(images, f))
         if argmax:
             b, h, w, _ = y.shape
@@ -135,4 +138,4 @@ def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
             return depth_to_space(cls.astype(jnp.int32), f)[..., 0]
         return depth_to_space(y, f)
 
-    return predict
+    return jit_engine(predict, mesh)

@@ -76,3 +76,19 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (params/optimizer state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def replicate_arrays(tree: Any, mesh: Mesh) -> Any:
+    """Replicate only the ARRAY leaves of a tree over the mesh.
+
+    The packed serving trees (engines 'serve'/'int8') mix device arrays
+    with Python floats/bools/None that drive trace-time branching
+    (e.g. ``blk['out_s'] is None``, ``packed['s2d']``); those must stay
+    host scalars, so plain ``device_put`` of the whole tree is wrong.
+    """
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding)
+        if isinstance(x, (jax.Array, np.ndarray)) else x,
+        tree,
+    )

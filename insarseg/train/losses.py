@@ -26,7 +26,10 @@ def cross_entropy_loss(
         torch's NaN).
     """
     valid = labels != ignore_index
-    safe_labels = jnp.where(valid, labels, 0)
+    # clamp out-of-range labels (corrupted masks) to the last class so they
+    # keep producing a visible loss signal, matching the previous
+    # clamped-gather semantics — one_hot alone would zero them silently
+    safe_labels = jnp.clip(jnp.where(valid, labels, 0), 0, logits.shape[-1] - 1)
     # at least f32 (bf16 logits promote); f64 stays f64 for x64 parity runs
     logp = jax.nn.log_softmax(
         logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1

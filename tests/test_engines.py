@@ -49,5 +49,10 @@ def test_int8_requires_calib():
 
 
 def test_unknown_engine_raises():
-    with pytest.raises(ValueError, match="does not support"):
+    with pytest.raises(ValueError, match="unknown engine"):
         make_engine("unet", "none", None, {}, "bogus")
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError, match="unknown model"):
+        make_engine("resnext", "none", None, {}, "serve")
