@@ -1,0 +1,144 @@
+"""Head-to-head accuracy validation: unet-ca vs unet-fast-ca.
+
+The fast variant (insarseg/models/unet_stem.py) is the only engine cell
+that beats the reference's throughput target (1633 tiles/s int8 at 512^2,
+BASELINE.md) — but it is an architecture change ("retrain to use"), so its
+throughput only counts as a capability once a head-to-head training run
+shows the accuracy cost. The real Arctic dataset is Google-Drive-only
+(/root/reference/Readme.md:31-38, no egress); this script is the strongest
+offline substitute: identical-protocol training of both presets on the same
+synthetic interferogram set (insarseg/data/synthetic.py), same seeds, same
+epochs/optimizer/batch, then module/serve/int8 evaluation of both.
+
+Prints one JSON line per (cell, engine) eval plus a final summary line with
+the mIoU delta. Results are recorded in README.md ("fast-variant accuracy").
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/fast_vs_ca_synthetic.py \
+      [--n-train 256] [--n-val 64] [--size 512] [--epochs 20] [--batch 8] \
+      [--workdir /tmp/fast_vs_ca]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/insarseg_jax_cache")
+
+import numpy as np  # noqa: E402
+
+
+def run_cell(preset: str, root: str, args, workdir: str) -> dict:
+    from insarseg.config import get_preset
+    from insarseg.data.voc import BatchLoader, VOCSegDataset
+    from insarseg.engines import make_engine
+    from insarseg.models.registry import build_model
+    from insarseg.train import engine
+    from insarseg.train.checkpoint import Checkpointer
+
+    cell_dir = os.path.join(workdir, preset.replace("-", "_"))
+    os.makedirs(cell_dir, exist_ok=True)
+    cfg = get_preset(
+        preset, voc_root=root, image_size=args.size, batch_size=args.batch,
+        num_epochs=args.epochs, seed=0,
+        model_save_path=os.path.join(cell_dir, "best.ckpt"),
+        metrics_save_path=os.path.join(cell_dir, "history.json"),
+    )
+    train_loader = BatchLoader(
+        VOCSegDataset(root, args.size, "train"), cfg.batch_size, shuffle=True,
+        num_workers=2)
+    val_loader = BatchLoader(
+        VOCSegDataset(root, args.size, "val"), cfg.batch_size)
+
+    model = build_model(cfg)
+    ckpt = Checkpointer(os.path.splitext(cfg.model_save_path)[0])
+    t0 = time.time()
+    history = engine.fit(model, cfg, train_loader, val_loader,
+                         checkpointer=ckpt)
+    train_s = time.time() - t0
+
+    # score the BEST checkpoint (the artifact a user would serve), not the
+    # last epoch — same contract as the reference's torch.save-on-best
+    restored = ckpt.restore_best()
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+
+    # multi-batch int8 calibration: N val batches, not 1
+    calib = []
+    it = iter(val_loader)
+    for _ in range(args.calib_batches):
+        try:
+            b = next(it)
+        except StopIteration:
+            break
+        img = np.asarray(b["image"], np.float32)
+        if b["image"].dtype == np.uint8:
+            img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
+        calib.append(img)
+    if hasattr(it, "close"):
+        it.close()
+
+    out = {"cell": preset, "train_s": round(train_s, 1),
+           "best_val_miou": max(h.get("val_miou", 0.0) for h in history),
+           "epochs": len(history)}
+    for engine_name in ("module", "serve", "int8"):
+        predict = make_engine(
+            cfg.model, cfg.attention, model, variables, engine_name,
+            calib_batches=calib if engine_name == "int8" else None)
+        eval_step = engine.make_engine_eval_step(
+            predict, cfg.num_classes, cfg.ignore_index,
+            normalize=(cfg.normalize_mean, cfg.normalize_std))
+        res = engine.evaluate(eval_step, variables["params"],
+                              variables["batch_stats"], val_loader,
+                              cfg.metrics_version, cfg.metrics_mode,
+                              verbose=False)
+        row = {"cell": preset, "engine": engine_name,
+               "val_miou": round(float(res["val_miou"]), 5),
+               "val_acc": round(float(res["val_acc"]), 5)}
+        print(json.dumps(row), flush=True)
+        out[f"miou_{engine_name}"] = row["val_miou"]
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-train", type=int, default=256)
+    ap.add_argument("--n-val", type=int, default=64)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--calib-batches", type=int, default=4)
+    ap.add_argument("--workdir", default="/tmp/fast_vs_ca")
+    ap.add_argument("--cells", nargs="*",
+                    default=["unet-channelattention", "unet-fast-ca"])
+    args = ap.parse_args()
+
+    from insarseg.data.synthetic import make_synthetic_voc
+
+    os.makedirs(args.workdir, exist_ok=True)
+    root = os.path.join(args.workdir, f"voc_{args.size}_{args.n_train}")
+    if not os.path.exists(os.path.join(root, "ImageSets")):
+        make_synthetic_voc(root, n_train=args.n_train, n_val=args.n_val,
+                           size=args.size, seed=0)
+
+    results = [run_cell(c, root, args, args.workdir) for c in args.cells]
+    for r in results:
+        print(json.dumps(r), flush=True)
+    if len(results) == 2:
+        a, b = results
+        print(json.dumps({
+            "summary": "fast_vs_ca",
+            "miou_delta_module": round(b["miou_module"] - a["miou_module"], 5),
+            "miou_delta_int8": round(b["miou_int8"] - a["miou_int8"], 5),
+            "int8_drop_ca": round(a["miou_int8"] - a["miou_module"], 5),
+            "int8_drop_fast": round(b["miou_int8"] - b["miou_module"], 5),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

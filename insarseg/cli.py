@@ -152,17 +152,24 @@ def cmd_eval(args) -> int:
                 f"({cfg.model}, {cfg.attention}); use --engine module")
         calib = None
         if engine_name == "int8":
-            # calibrate on the first validation batch (real data)
+            # calibrate on the first N validation batches (real data) —
+            # single-batch absmax is fragile to outlier activations
             peek = iter(loader)
-            first = next(peek)
+            calib = []
+            for _ in range(max(args.calib_batches, 1)):
+                try:
+                    b = next(peek)
+                except StopIteration:
+                    break
+                img = np.asarray(b["image"], np.float32)
+                if b["image"].dtype == np.uint8:
+                    img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
+                calib.append(img)
             if hasattr(peek, "close"):
                 peek.close()
-            img = np.asarray(first["image"], np.float32)
-            if first["image"].dtype == np.uint8:
-                img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
-            calib = [img]
         predict = make_engine(cfg.model, cfg.attention, model, variables,
-                              engine_name, calib_batches=calib)
+                              engine_name, calib_batches=calib,
+                              calib_stat=args.calib_stat)
         eval_step = engine.make_engine_eval_step(
             predict, cfg.num_classes, cfg.ignore_index,
             normalize=(cfg.normalize_mean, cfg.normalize_std))
@@ -205,21 +212,27 @@ def cmd_predict(args) -> int:
             f"({cfg.model}, {cfg.attention})")
 
     def _scene_calib():
+        # --calib-batches groups of 4 tiles spread across the scene (not
+        # just the top-left corner, whose statistics may be unrepresentative)
         from insarseg.data.stitch import extract_tiles, plan_tiles
 
         h, w = scene.shape[:2]
         pos = plan_tiles(max(h, args.tile), max(w, args.tile), args.tile,
-                         args.overlap)[:4]
+                         args.overlap)
+        n = min(len(pos), 4 * max(args.calib_batches, 1))
+        stride = max(len(pos) // n, 1)
+        pos = pos[::stride][:n]
         pad_h, pad_w = max(0, args.tile - h), max(0, args.tile - w)
         padded = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
-        return [np.asarray(extract_tiles(padded, pos, args.tile))]
+        return [np.asarray(extract_tiles(padded, pos[i:i + 4], args.tile))
+                for i in range(0, len(pos), 4)]
 
     # every engine (module/serve/int8) is mesh-shardable: the tile batch
     # shards over the 'data' axis, weights replicate over ICI
     eng = make_engine(
         cfg.model, cfg.attention, model, variables, engine_name,
         calib_batches=_scene_calib() if engine_name == "int8" else None,
-        mesh=mesh)
+        mesh=mesh, calib_stat=args.calib_stat)
     predict = lambda _v, t: eng(t)  # noqa: E731
 
     tile_batch = args.tile_batch
@@ -353,7 +366,17 @@ def main(argv=None) -> int:
                            choices=["module", "serve", "int8"],
                            help="score a serving engine instead of the "
                                 "module graph — int8 self-calibrates on "
-                                "the first val batch (calibration QA)")
+                                "the first --calib-batches val batches "
+                                "(calibration QA)")
+        if name in ("eval", "predict"):
+            p.add_argument("--calib-batches", type=int, default=4,
+                           help="int8 engine: number of batches to "
+                                "calibrate activation scales on (absmax "
+                                "from one batch is outlier-fragile)")
+            p.add_argument("--calib-stat", default="absmax",
+                           help="int8 activation-scale statistic: 'absmax' "
+                                "or a percentile like 'p999' (99.9%%, clips "
+                                "outliers for finer inlier resolution)")
         if name == "predict":
             p.add_argument("--input", required=True)
             p.add_argument("--output", default=None)

@@ -85,12 +85,16 @@ def make_engine(
     argmax: bool = False,
     input_dtype: Optional[Any] = None,
     mesh: Optional[Any] = None,
+    calib_stat: str = "absmax",
 ):
     """Build a jitted ``predict(images) -> logits | int32 class map``.
 
     ``calib_batches`` (normalized f32 input batches) is required for
     ``engine='int8'``. With ``mesh``, the predict is jitted with the image
     batch sharded over the mesh's ``data`` axis (weights replicated).
+    ``calib_stat``: activation-scale statistic for int8 PTQ — 'absmax'
+    (exact, outlier-fragile) or 'p<digits>' percentile clipping (e.g.
+    'p999'; insarseg/ops/quant.py::calib_stat_fn).
     """
     model_name = model_name.lower().replace("_", "-")
     if not supported(model_name, attention, engine):
@@ -130,7 +134,8 @@ def make_engine(
                                               input_dtype=input_dtype,
                                               mesh=mesh)
         return make_fast_int8_predict_fn(model, variables, calib_batches,
-                                         argmax=argmax, mesh=mesh)
+                                         argmax=argmax, mesh=mesh,
+                                         calib_stat=calib_stat)
     if model_name == "unet":
         if engine == "serve":
             from insarseg.models.unet_serve import make_serve_predict_fn
@@ -140,7 +145,8 @@ def make_engine(
         from insarseg.models.unet_int8 import make_int8_predict_fn
 
         return make_int8_predict_fn(variables, calib_batches, argmax=argmax,
-                                    s2d=attention != "spatial", mesh=mesh)
+                                    s2d=attention != "spatial", mesh=mesh,
+                                    calib_stat=calib_stat)
 
     if engine == "serve":
         from insarseg.models.resnet_serve import make_resnet_serve_predict_fn
@@ -151,7 +157,8 @@ def make_engine(
     from insarseg.models.resnet_int8 import make_resnet_int8_predict_fn
 
     return make_resnet_int8_predict_fn(variables, calib_batches,
-                                       argmax=argmax, mesh=mesh)
+                                       argmax=argmax, mesh=mesh,
+                                       calib_stat=calib_stat)
 
 
 def jit_engine(predict, mesh: Optional[Any]):

@@ -68,15 +68,20 @@ def _block_chain(pb: Dict) -> List[str]:
             for bi in range(pb["layers"][li])]
 
 
-def _replay_absmax(pf: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """One f32 forward of the folded serving graph recording the absmax of
-    every tensor that will carry int8 codes (jit-able)."""
+def _replay_absmax(pf: Dict, x: jnp.ndarray,
+                   calib_stat: str = "absmax") -> Dict[str, jnp.ndarray]:
+    """One f32 forward of the folded serving graph recording the calibration
+    statistic (absmax or a high |t| percentile — quant.py::calib_stat_fn)
+    of every tensor that will carry int8 codes (jit-able)."""
+    from insarseg.ops.quant import calib_stat_fn
+
+    stat = calib_stat_fn(calib_stat)
     am: Dict[str, jnp.ndarray] = {}
 
     def rec(name, *ts):
-        m = jnp.max(jnp.abs(ts[0]))
+        m = stat(ts[0])
         for t in ts[1:]:
-            m = jnp.maximum(m, jnp.max(jnp.abs(t)))
+            m = jnp.maximum(m, stat(t))
         am[name] = m
 
     pb = pf["backbone"]
@@ -141,6 +146,7 @@ def _qconv(c: Dict, s_in: float, s_out: Optional[float],
 def pack_resnet_int8(
     variables: Dict[str, Any],
     calib_batches: List[jnp.ndarray],
+    calib_stat: str = "absmax",
 ) -> Dict[str, Any]:
     """DeepLabV3/FCN variables + calibration images -> int8 serving tree.
 
@@ -149,7 +155,7 @@ def pack_resnet_int8(
     pf = pack_resnet_serve(variables)
     # close over pf: the tree carries static metadata (kind/strides/rates)
     # that can't cross the jit boundary as an argument
-    replay = jax.jit(lambda x: _replay_absmax(pf, x))
+    replay = jax.jit(lambda x: _replay_absmax(pf, x, calib_stat=calib_stat))
     am: Dict[str, float] = {}
     for batch in calib_batches:
         cur = jax.device_get(replay(jnp.asarray(batch, jnp.float32)))
@@ -311,6 +317,7 @@ def resnet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
 def make_resnet_int8_predict_fn(variables: Dict[str, Any],
                                 calib_batches: List[jnp.ndarray],
                                 argmax: bool = False,
+                                calib_stat: str = "absmax",
                                 mesh=None):
     """Calibrate + pack once; return a jitted int8 ``predict(images)``.
 
@@ -319,8 +326,9 @@ def make_resnet_int8_predict_fn(variables: Dict[str, Any],
     1-way bit-exactly (tests/test_engines_mesh.py)."""
     from insarseg.engines import jit_engine, mesh_replicate_packed
 
-    packed = mesh_replicate_packed(pack_resnet_int8(variables, calib_batches),
-                                   mesh)
+    packed = mesh_replicate_packed(
+        pack_resnet_int8(variables, calib_batches, calib_stat=calib_stat),
+        mesh)
 
     def predict(images):
         return resnet_int8_apply(packed, images, argmax=argmax)

@@ -105,15 +105,21 @@ def _dc_f32(pk, x, s2d: bool):
 
 
 def _replay_absmax(pf: Dict, x: jnp.ndarray,
-                   s2d: bool = True) -> Dict[str, jnp.ndarray]:
-    """One f32 forward of the serving graph recording the absmax of every
-    tensor that will be int8 (jit-able; returns a dict of scalars).
-    ``s2d=False`` replays the standard-layout folded graph instead."""
+                   s2d: bool = True,
+                   calib_stat: str = "absmax") -> Dict[str, jnp.ndarray]:
+    """One f32 forward of the serving graph recording the calibration
+    statistic (absmax or a high percentile of |t|, insarseg/ops/quant.py::
+    calib_stat_fn) of every tensor that will be int8 (jit-able; returns a
+    dict of scalars). ``s2d=False`` replays the standard-layout folded
+    graph instead."""
+    from insarseg.ops.quant import calib_stat_fn
+
+    stat = calib_stat_fn(calib_stat)
     am: Dict[str, jnp.ndarray] = {}
 
     def rec(name, *ts):
-        m = jnp.maximum(*[jnp.max(jnp.abs(t)) for t in ts]) if len(ts) > 1 \
-            else jnp.max(jnp.abs(ts[0]))
+        m = jnp.maximum(*[stat(t) for t in ts]) if len(ts) > 1 \
+            else stat(ts[0])
         am[name] = m
 
     def dc(name, x, flag):
@@ -163,6 +169,7 @@ def pack_unet_int8(
     calib_batches: List[jnp.ndarray],
     s2d: bool = True,
     l1_kernel: str = "auto",
+    calib_stat: str = "absmax",
 ) -> Dict[str, Any]:
     """UNet variables + calibration images -> int8 serving tree.
 
@@ -196,7 +203,8 @@ def pack_unet_int8(
     pf = pack_unet_s2d(variables) if s2d else pack_unet_folded(variables)
     import functools
 
-    replay = jax.jit(functools.partial(_replay_absmax, s2d=s2d))
+    replay = jax.jit(functools.partial(_replay_absmax, s2d=s2d,
+                                       calib_stat=calib_stat))
     am: Dict[str, float] = {}
     for batch in calib_batches:
         cur = jax.device_get(replay(pf, jnp.asarray(batch, jnp.float32)))
@@ -462,6 +470,7 @@ def make_int8_predict_fn(variables: Dict[str, Any],
                          argmax: bool = False,
                          s2d: bool = True,
                          l1_kernel: str = "auto",
+                         calib_stat: str = "absmax",
                          mesh=None):
     """Calibrate + pack once; return a jitted int8 ``predict(images)``.
 
@@ -473,7 +482,7 @@ def make_int8_predict_fn(variables: Dict[str, Any],
 
     packed = mesh_replicate_packed(
         pack_unet_int8(variables, calib_batches, s2d=s2d,
-                       l1_kernel=l1_kernel), mesh)
+                       l1_kernel=l1_kernel, calib_stat=calib_stat), mesh)
     # the H-s2d graph halves H before the 5-level pyramid
     hdiv = 32 if s2d else 16
 

@@ -20,6 +20,12 @@ The result consumes/produces exactly the standard shapes
 engine (it is a regular Flax module; the registry exposes it as model
 ``unet-fast``). Accuracy must be re-established by training — published
 mIoU numbers apply to the exact architecture only.
+
+Measured head-to-head (benchmarks/fast_vs_ca_synthetic.py, identical
+protocol/seeds, 512^2 synthetic interferograms, 256 train tiles, 20
+epochs, one v5e chip): unet-ca best val mIoU 0.99710 vs unet-fast-ca
+0.99623 — a −0.09 pt delta, within the ≤1 pt acceptance bar, with int8
+engine mIoU drop ≤2e-5 on both (README.md "fast-variant accuracy").
 """
 
 from __future__ import annotations
@@ -115,7 +121,8 @@ def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
 
 
 def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
-                              argmax: bool = False, mesh=None):
+                              argmax: bool = False, mesh=None,
+                              calib_stat: str = "absmax"):
     """int8 PTQ serving of the fast variant: standard-layout (no-s2d)
     quantized graph (insarseg/models/unet_int8.py) on the inner UNet."""
     import numpy as np
@@ -127,7 +134,8 @@ def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
     calib = [np.asarray(space_to_depth(jnp.asarray(b, jnp.float32), f))
              for b in calib_batches]
     packed = mesh_replicate_packed(
-        pack_unet_int8(_inner_variables(variables), calib, s2d=False), mesh)
+        pack_unet_int8(_inner_variables(variables), calib, s2d=False,
+                       calib_stat=calib_stat), mesh)
 
     def predict(images):
         check_hw(images.shape, 16 * f, 16 * f, "int8", "unet-fast")

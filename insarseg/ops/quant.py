@@ -37,6 +37,27 @@ def absmax_to_scale(absmax: float) -> float:
     return max(float(absmax), 1e-12) / QMAX
 
 
+def calib_stat_fn(stat: str):
+    """Calibration statistic over |t| for activation scales.
+
+    - 'absmax' (default): exact max — no clipping, fragile to a single
+      outlier activation blowing up the scale (and with it the rounding
+      error of every inlier).
+    - 'pXX[.X]' (e.g. 'p999' = 99.9%, 'p9999' = 99.99%): high quantile of
+      |t| — values beyond the scale saturate at ±127 in requant (symmetric
+      clipping), trading rare saturation for finer inlier resolution.
+    """
+    if stat == "absmax":
+        return lambda t: jnp.max(jnp.abs(t))
+    if stat.startswith("p") and stat[1:].isdigit():
+        q = float("0." + stat[1:])  # p999 -> 0.999
+        return lambda t: jnp.quantile(
+            jnp.abs(t).astype(jnp.float32).ravel(), q)
+    raise ValueError(
+        f"unknown calibration stat {stat!r}; expected 'absmax' or 'p<digits>'"
+        " (e.g. 'p999' for the 99.9th percentile)")
+
+
 def requant(y: jnp.ndarray, s: float) -> jnp.ndarray:
     """f32 values -> int8 codes at scale ``s``."""
     return jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
