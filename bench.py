@@ -8,23 +8,26 @@ and reports per-chip throughput; ``vs_baseline`` is the ratio against the
 Two serving paths are measured (see BASELINE.md "Speed of light" for the
 trace-backed physics):
 
-- **exact bf16** (`insarseg.models.unet_serve`, single chip; the mesh
-  path falls back to `insarseg.parallel.make_predict_fn`): the parity
-  graph — BN folded, SE gates deferred to their fusible consumers, same
-  math to <=1e-4. Measured 411 tiles/s/chip (the plain module graph does
-  371); the 1,250 target is *above* bf16 speed of light for this
-  architecture (404 TFLOP/s needed vs 197 peak).
+- **exact bf16** (`insarseg.models.unet_serve`): the parity graph — BN
+  folded, SE gates deferred to their fusible consumers, same math to
+  <=1e-4. Measured 411 tiles/s/chip (the plain module graph does 371);
+  the 1,250 target is *above* bf16 speed of light for this architecture
+  (404 TFLOP/s needed vs 197 peak).
 - **int8 s2d** (`insarseg.models.unet_int8`): opt-in post-training-
   quantized H-space-to-depth graph; argmax-exact on every input measured
   but not logit-exact. This is the headline `value` (same architecture as
   the reference).
 
 Additionally the **fast variant** (`insarseg.models.unet_stem`,
-space-to-depth stem + widened level 1 — an architecture-altering opt-in
-that must be retrained; designed because the target is above bf16 speed
-of light for the exact architecture) is measured in both precisions and
+space-to-depth stem + widened level 1 — an architecture-altering opt-in;
+accuracy validated head-to-head within 0.09 pt mIoU of the exact cell,
+README.md "fast-variant accuracy") is measured in both precisions and
 reported as `fast_*` fields. Measured: bf16 1008, int8 1623 tiles/s/chip
 — the int8 fast variant exceeds the 1,250/chip target (1.30x).
+
+Every path is mesh-shardable (round 3): with n chips attached, the batch
+shards over a ('data',) mesh and the packed weights replicate, so the
+serve/int8/fast engines use the whole slice — not just the module graph.
 
 Synchronization note: on the experimental ``axon`` platform
 ``block_until_ready`` can return before execution finishes, so timing is
@@ -34,7 +37,7 @@ whole timed window).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N,
-   "exact_bf16": N, "int8_s2d": N}
+   "exact_bf16": N, "int8_s2d": N, ...}
 """
 
 from __future__ import annotations
@@ -72,10 +75,12 @@ def _measure(predict, images, iters: int) -> float:
 
 
 def _sweep(predict, make_batch, batches, n_chips: int) -> float:
+    import os
+
     best = 0.0
     for per_chip_batch in batches:
         batch = per_chip_batch * n_chips
-        iters = 10
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
         try:
             dt = _measure(predict, make_batch(batch), iters)
         except Exception as e:  # e.g. OOM at the largest batch
@@ -88,75 +93,80 @@ def _sweep(predict, make_batch, batches, n_chips: int) -> float:
 def main() -> None:
     from insarseg.models.unet import UNet
     from insarseg.models.unet_int8 import make_int8_predict_fn
-    from insarseg.parallel import make_mesh, make_predict_fn, replicate, shard_batch
+    from insarseg.models.unet_serve import make_serve_predict_fn
+    from insarseg.parallel import make_mesh
+    from insarseg.parallel.mesh import batch_sharding
+
+    import os
 
     n_chips = len(jax.devices())
-    tile = 512
+    # smoke-test overrides (e.g. the 8-virtual-CPU mesh): the driver runs
+    # with defaults on the real chip(s)
+    tile = int(os.environ.get("BENCH_TILE", "512"))
+    batches = tuple(int(b) for b in
+                    os.environ.get("BENCH_BATCHES", "64,128").split(","))
 
     model = UNet(num_classes=2, use_se=True, dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
     rng = np.random.default_rng(0)
 
-    def batch_f32(batch):
-        return jnp.asarray(
-            rng.standard_normal((batch, tile, tile, 1)).astype(np.float32))
-
-    # exact bf16 path (mesh-sharded when a slice is attached)
+    # one ('data',) mesh for every engine when a slice is attached — the
+    # packed predicts shard the batch and replicate the weights
     mesh = make_mesh(data=n_chips) if n_chips > 1 else None
-    if mesh is None:
-        from insarseg.models.unet_serve import make_serve_predict_fn
 
-        serve = make_serve_predict_fn(model, variables, argmax=True,
-                                      input_dtype=jnp.bfloat16)
-        exact_predict = serve
-    else:
-        predict = make_predict_fn(model, mesh=mesh, argmax=True)
-        vrep = replicate(variables, mesh)
-        exact_predict = lambda im: predict(vrep, im)  # noqa: E731
+    def _place(images):
+        if mesh is None:
+            return jnp.asarray(images)
+        return jax.device_put(images, batch_sharding(mesh, spatial_axis=None))
+
+    def batch_f32(batch):
+        return _place(rng.standard_normal((batch, tile, tile, 1))
+                      .astype(np.float32))
 
     def batch_bf16(batch):
-        images = batch_f32(batch).astype(jnp.bfloat16)
-        if mesh is not None:
-            images = shard_batch({"image": images}, mesh)["image"]
-        return images
+        return _place(rng.standard_normal((batch, tile, tile, 1))
+                      .astype(jnp.bfloat16))
 
+    # exact bf16 path: the deferred-SE serve graph on every chip
+    serve = make_serve_predict_fn(model, variables, argmax=True,
+                                  input_dtype=jnp.bfloat16, mesh=mesh)
     # measured sweep (v5e, bf16): serve graph b64 318, b128 411 tiles/s/chip
-    # (module graph: 290/371); OOM at b160
-    exact = _sweep(exact_predict, batch_bf16, (64, 128), n_chips)
+    # (module graph: 290/371); OOM at b160 single-chip
+    exact = _sweep(serve, batch_bf16, batches, n_chips)
 
-    # int8 s2d serving path (single-chip program; per-chip number)
+    # int8 s2d serving path (mesh-sharded like the rest)
     int8 = fast_bf16 = fast_int8 = 0.0
-    if n_chips == 1:
-        try:
-            calib = [np.asarray(batch_f32(2))]
-            pred_i8 = make_int8_predict_fn(variables, calib, argmax=True)
-            # measured (v5e): b64 599, b128 602, b192 588 tiles/s
-            int8 = _sweep(pred_i8, batch_f32, (64, 128), 1)
-        except Exception as e:
-            print(f"int8 path failed: {type(e).__name__}", file=sys.stderr)
+    try:
+        calib = [rng.standard_normal((2, tile, tile, 1)).astype(np.float32)]
+        pred_i8 = make_int8_predict_fn(variables, calib, argmax=True,
+                                       mesh=mesh)
+        # measured (v5e): b64 599, b128 602, b192 588 tiles/s
+        int8 = _sweep(pred_i8, batch_f32, batches, n_chips)
+    except Exception as e:
+        print(f"int8 path failed: {type(e).__name__}", file=sys.stderr)
 
-        # opt-in fast variant (architecture-altering; both precisions)
-        try:
-            from insarseg.models.unet_stem import (
-                UNetFastS2D,
-                make_fast_int8_predict_fn,
-                make_fast_serve_predict_fn,
-            )
+    # opt-in fast variant (architecture-altering; both precisions;
+    # accuracy head-to-head in README.md "fast-variant accuracy")
+    try:
+        from insarseg.models.unet_stem import (
+            UNetFastS2D,
+            make_fast_int8_predict_fn,
+            make_fast_serve_predict_fn,
+        )
 
-            fmodel = UNetFastS2D(num_classes=2, use_se=True,
-                                 dtype=jnp.bfloat16)
-            fvars = fmodel.init(jax.random.key(0),
-                                jnp.zeros((1, tile, tile, 1)))
-            fserve = make_fast_serve_predict_fn(fmodel, fvars, argmax=True)
-            # measured (v5e): bf16 948/1008, int8 1567/1623 at b64/b128
-            fast_bf16 = _sweep(
-                lambda im: fserve(im),
-                lambda b: batch_f32(b).astype(jnp.bfloat16), (64, 128), 1)
-            fint8 = make_fast_int8_predict_fn(
-                fmodel, fvars, [np.asarray(batch_f32(2))], argmax=True)
-            fast_int8 = _sweep(fint8, batch_f32, (64, 128), 1)
-        except Exception as e:
-            print(f"fast variant failed: {type(e).__name__}", file=sys.stderr)
+        fmodel = UNetFastS2D(num_classes=2, use_se=True, dtype=jnp.bfloat16)
+        fvars = fmodel.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
+        fserve = make_fast_serve_predict_fn(fmodel, fvars, argmax=True,
+                                            mesh=mesh)
+        # measured (v5e): bf16 948/1008, int8 1567/1623 at b64/b128
+        fast_bf16 = _sweep(fserve, batch_bf16, batches, n_chips)
+        fint8 = make_fast_int8_predict_fn(
+            fmodel, fvars,
+            [rng.standard_normal((2, tile, tile, 1)).astype(np.float32)],
+            argmax=True, mesh=mesh)
+        fast_int8 = _sweep(fint8, batch_f32, batches, n_chips)
+    except Exception as e:
+        print(f"fast variant failed: {type(e).__name__}", file=sys.stderr)
 
     best = max(exact, int8)
     print(
@@ -166,6 +176,7 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(best / BASELINE_TILES_PER_SEC_PER_CHIP, 4),
+                "n_chips": n_chips,
                 "exact_bf16": round(exact, 2),
                 "int8_s2d": round(int8, 2),
                 "fast_variant_bf16": round(fast_bf16, 2),
