@@ -81,14 +81,35 @@ def main() -> None:
     results = []
     for cfg in configs:
         predict = make_int8_predict_fn(variables, calib, argmax=True, **cfg)
-        row = {"config": cfg}
+        row = {"engine": "unet-ca-int8", "config": cfg}
         for b in batches:
             dt = measure(predict, imgs[b])
             row[f"tiles_per_s_b{b}"] = round(10 * b / dt, 1)
         results.append(row)
         print(json.dumps(row), flush=True)
+
+    # the fast variant rides the standard-layout graph: same tail options
+    from insarseg.models.unet_stem import (
+        UNetFastS2D,
+        make_fast_int8_predict_fn,
+    )
+
+    fmodel = UNetFastS2D(num_classes=2, use_se=True, dtype=jnp.bfloat16)
+    fvars = fmodel.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
+    for cfg in (dict(), dict(defer_gates=True, mp_kernel="slice",
+                             head_int8=True)):
+        predict = make_fast_int8_predict_fn(fmodel, fvars, calib,
+                                            argmax=True, **cfg)
+        row = {"engine": "unet-fast-int8", "config": cfg}
+        for b in batches:
+            dt = measure(predict, imgs[b])
+            row[f"tiles_per_s_b{b}"] = round(10 * b / dt, 1)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     best = max(results,
-               key=lambda r: max(v for k, v in r.items() if k != "config"))
+               key=lambda r: max(v for k, v in r.items()
+                                 if isinstance(v, (int, float))))
     print(json.dumps({"summary": "int8_tail_sweep", "best": best}),
           flush=True)
 

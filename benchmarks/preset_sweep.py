@@ -39,14 +39,21 @@ ALL_PRESETS = (
 )
 
 
-def run_cli(args_list, env):
-    r = subprocess.run([sys.executable, "-m", "insarseg.cli"] + args_list,
-                       env=env, capture_output=True, text=True)
-    if r.returncode != 0:
+def run_cli(args_list, env, retries: int = 2):
+    # the axon TPU tunnel occasionally drops a call with a transient
+    # FAILED_PRECONDITION — retry rather than losing a whole sweep
+    for attempt in range(retries + 1):
+        r = subprocess.run([sys.executable, "-m", "insarseg.cli"] + args_list,
+                           env=env, capture_output=True, text=True)
+        if r.returncode == 0:
+            return r.stdout
         print(r.stdout[-2000:], file=sys.stderr)
         print(r.stderr[-3000:], file=sys.stderr)
-        raise RuntimeError(f"CLI failed: {' '.join(args_list[:2])}")
-    return r.stdout
+        if attempt < retries:
+            print(f"retrying ({attempt + 1}/{retries}): "
+                  f"{' '.join(args_list[:2])}", file=sys.stderr)
+            time.sleep(30)
+    raise RuntimeError(f"CLI failed: {' '.join(args_list[:2])}")
 
 
 def sweep_one(preset: str, root: str, scene: str, args, env) -> dict:
@@ -135,7 +142,26 @@ def main() -> None:
     env["PYTHONPATH"] = ("/root/repo" + os.pathsep +
                          env.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
-    rows = [sweep_one(p, root, scene, args, env) for p in args.presets]
+    # resume support: completed rows persist in results.jsonl; a rerun
+    # (e.g. after a tunnel drop) skips them
+    results_path = os.path.join(args.workdir, "results.jsonl")
+    done = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            for line in f:
+                row = json.loads(line)
+                done[row["preset"]] = row
+    rows = []
+    with open(results_path, "a") as f:
+        for p in args.presets:
+            if p in done:
+                print(json.dumps(done[p]), flush=True)
+                rows.append(done[p])
+                continue
+            row = sweep_one(p, root, scene, args, env)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            rows.append(row)
     n_learned = sum(r["learned"] for r in rows)
     print(json.dumps({"summary": "preset_sweep", "presets": len(rows),
                       "learned": n_learned}), flush=True)
