@@ -19,10 +19,20 @@ def make_synthetic_voc(
     n_val: int = 4,
     size: int = 64,
     seed: int = 0,
+    noise: float = 0.25,
+    contrast: float = 0.5,
+    band_width: tuple = (0.03, 0.08),
 ) -> str:
     """Write a miniature VOC2012-layout dataset of synthetic interferogram
     tiles. Images are smooth random phase-like fields; masks are {0,255}
-    linear-feature bands (mimicking ice deformation features)."""
+    linear-feature bands (mimicking ice deformation features).
+
+    ``noise``/``contrast``/``band_width`` tune difficulty: the defaults
+    give an easily-learnable task (models saturate near mIoU 0.99 —
+    pipeline QA); a "hard" setting (e.g. noise=0.9, contrast=0.18,
+    band_width=(0.008, 0.03)) keeps trained models in the ~0.6-0.9 mIoU
+    range where architecture differences are measurable (used by the
+    fast-vs-exact head-to-head, benchmarks/fast_vs_ca_synthetic.py)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -36,16 +46,18 @@ def make_synthetic_voc(
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
         a, b, c = rng.uniform(-3, 3, 3)
         phase = np.sin(2 * np.pi * (a * xx + b * yy + c)) * 0.5 + 0.5
-        noise = rng.random((size, size), dtype=np.float32) * 0.25
+        noise_f = rng.random((size, size), dtype=np.float32) * noise
         # linear deformation band through a random in-frame point (guaranteed
         # non-empty so class 1 is always present in every tile); the band is
         # a *visible* fringe discontinuity so the task is learnable
         theta = rng.uniform(0, np.pi)
         x0, y0 = rng.uniform(0.25, 0.75, 2)
-        w0 = rng.uniform(0.03, 0.08)
+        w0 = rng.uniform(*band_width)
         band = np.abs(np.cos(theta) * (xx - x0) + np.sin(theta) * (yy - y0)) < w0
-        img_f = phase * 0.55 + noise
-        img_f = np.where(band, 1.0 - img_f * 0.5, img_f)  # bright shear zone
+        img_f = phase * (0.8 - noise) + noise_f
+        # band brightness: 1 - (1-contrast)*img_f; contrast=0.5 reproduces
+        # the original fixture bit-for-bit (1 - 0.5*img_f)
+        img_f = np.where(band, 1.0 - (1.0 - contrast) * img_f, img_f)
         img = np.clip(img_f * 255, 0, 255).astype(np.uint8)
         mask = np.where(band, 255, 0).astype(np.uint8)
         Image.fromarray(img, "L").save(os.path.join(img_dir, f"{img_id}.jpg"))
