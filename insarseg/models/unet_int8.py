@@ -194,7 +194,17 @@ def pack_unet_int8(
     and reduce_window on row-major codes runs 2x slower (9.2 vs 3.8 ms).
     Trace tables in BASELINE.md. 'auto' therefore resolves to 'xla';
     'pallas' stays opt-in until the whole L1 stage (c1+c2+pool+gates)
-    lives inside one kernel with only layout-cheap rim tensors."""
+    lives inside one kernel with only layout-cheap rim tensors.
+
+    ``head_int8`` / ``mp_kernel`` / ``defer_gates``: round-3 tail
+    restructurings — ALL MEASURED SLOWER than the baseline graph on the
+    chip (603 vs 579/454/555 tiles/s at 512² b128; full table in
+    BASELINE.md "Round 3: the int8 tail") and kept opt-in as documented
+    dead ends: the concat already rides the conv input fusion, the bf16
+    head already fuses with the excite exit, and slice-max lowers worse
+    than reduce_window. defer/slice are bit-identical by construction
+    (monotone requant commutes with max); head_int8 adds one rounding
+    (argmax agreement bounded in tests)."""
     if l1_kernel not in ("auto", "xla", "pallas", "fused"):
         raise ValueError(
             f"unknown l1_kernel {l1_kernel!r}; expected one of "
