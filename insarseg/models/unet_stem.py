@@ -22,10 +22,11 @@ engine (it is a regular Flax module; the registry exposes it as model
 mIoU numbers apply to the exact architecture only.
 
 Measured head-to-head (benchmarks/fast_vs_ca_synthetic.py, identical
-protocol/seeds, 512^2 synthetic interferograms, 256 train tiles, 20
-epochs, one v5e chip): unet-ca best val mIoU 0.99710 vs unet-fast-ca
-0.99623 — a −0.09 pt delta, within the ≤1 pt acceptance bar, with int8
-engine mIoU drop ≤2e-5 on both (README.md "fast-variant accuracy").
+protocol/seeds, 512^2 synthetic interferograms, 256 train tiles, one
+v5e chip): default task (20 ep) unet-ca 0.99710 vs unet-fast-ca 0.99623
+(−0.09 pt); harder task (--hard, 30 ep) 0.99239 vs 0.98540 (−0.70 pt).
+Both inside the ≤1 pt acceptance bar; int8 engine mIoU drop ≤3e-5 on
+all runs (README.md "fast-variant accuracy").
 """
 
 from __future__ import annotations
