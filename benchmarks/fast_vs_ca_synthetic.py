@@ -68,20 +68,12 @@ def run_cell(preset: str, root: str, args, workdir: str) -> dict:
     variables = {"params": restored["params"],
                  "batch_stats": restored["batch_stats"]}
 
-    # multi-batch int8 calibration: N val batches, not 1
-    calib = []
-    it = iter(val_loader)
-    for _ in range(args.calib_batches):
-        try:
-            b = next(it)
-        except StopIteration:
-            break
-        img = np.asarray(b["image"], np.float32)
-        if b["image"].dtype == np.uint8:
-            img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
-        calib.append(img)
-    if hasattr(it, "close"):
-        it.close()
+    # multi-batch int8 calibration: N val batches, not 1 (shared helper —
+    # same contract as the CLI)
+    from insarseg.engines import collect_calib_batches
+
+    calib = collect_calib_batches(val_loader, args.calib_batches,
+                                  cfg.normalize_mean, cfg.normalize_std)
 
     out = {"cell": preset, "train_s": round(train_s, 1),
            "best_val_miou": max(h.get("val_miou", 0.0) for h in history),

@@ -39,9 +39,14 @@ ALL_PRESETS = (
 )
 
 
+_TRANSIENT = ("FAILED_PRECONDITION", "TPU backend error", "DEADLINE_EXCEEDED",
+              "UNAVAILABLE")
+
+
 def run_cli(args_list, env, retries: int = 2):
     # the axon TPU tunnel occasionally drops a call with a transient
-    # FAILED_PRECONDITION — retry rather than losing a whole sweep
+    # backend error — retry those (and only those: a deterministic
+    # failure like a bad path would just waste 3 full training runs)
     for attempt in range(retries + 1):
         r = subprocess.run([sys.executable, "-m", "insarseg.cli"] + args_list,
                            env=env, capture_output=True, text=True)
@@ -49,10 +54,14 @@ def run_cli(args_list, env, retries: int = 2):
             return r.stdout
         print(r.stdout[-2000:], file=sys.stderr)
         print(r.stderr[-3000:], file=sys.stderr)
-        if attempt < retries:
-            print(f"retrying ({attempt + 1}/{retries}): "
-                  f"{' '.join(args_list[:2])}", file=sys.stderr)
+        transient = any(m in r.stderr for m in _TRANSIENT)
+        if attempt < retries and transient:
+            print(f"transient backend error — retrying "
+                  f"({attempt + 1}/{retries}): {' '.join(args_list[:2])}",
+                  file=sys.stderr)
             time.sleep(30)
+            continue
+        break
     raise RuntimeError(f"CLI failed: {' '.join(args_list[:2])}")
 
 

@@ -154,19 +154,11 @@ def cmd_eval(args) -> int:
         if engine_name == "int8":
             # calibrate on the first N validation batches (real data) —
             # single-batch absmax is fragile to outlier activations
-            peek = iter(loader)
-            calib = []
-            for _ in range(max(args.calib_batches, 1)):
-                try:
-                    b = next(peek)
-                except StopIteration:
-                    break
-                img = np.asarray(b["image"], np.float32)
-                if b["image"].dtype == np.uint8:
-                    img = (img / 255.0 - cfg.normalize_mean) / cfg.normalize_std
-                calib.append(img)
-            if hasattr(peek, "close"):
-                peek.close()
+            from insarseg.engines import collect_calib_batches
+
+            calib = collect_calib_batches(loader, args.calib_batches,
+                                          cfg.normalize_mean,
+                                          cfg.normalize_std)
         predict = make_engine(cfg.model, cfg.attention, model, variables,
                               engine_name, calib_batches=calib,
                               calib_stat=args.calib_stat)
@@ -213,19 +205,25 @@ def cmd_predict(args) -> int:
 
     def _scene_calib():
         # --calib-batches groups of 4 tiles spread across the scene (not
-        # just the top-left corner, whose statistics may be unrepresentative)
+        # just the top-left corner, whose statistics may be unrepresentative).
+        # Groups are kept a uniform 4 tiles: the calibration replay is
+        # jitted, and a ragged last group would force a second multi-minute
+        # remote compile for negligible extra signal.
         from insarseg.data.stitch import extract_tiles, plan_tiles
 
         h, w = scene.shape[:2]
         pos = plan_tiles(max(h, args.tile), max(w, args.tile), args.tile,
                          args.overlap)
         n = min(len(pos), 4 * max(args.calib_batches, 1))
+        if n > 4:
+            n -= n % 4
         stride = max(len(pos) // n, 1)
         pos = pos[::stride][:n]
         pad_h, pad_w = max(0, args.tile - h), max(0, args.tile - w)
         padded = jnp.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)))
-        return [np.asarray(extract_tiles(padded, pos[i:i + 4], args.tile))
-                for i in range(0, len(pos), 4)]
+        group = min(4, len(pos))
+        return [np.asarray(extract_tiles(padded, pos[i:i + group], args.tile))
+                for i in range(0, len(pos) - group + 1, group)]
 
     # every engine (module/serve/int8) is mesh-shardable: the tile batch
     # shards over the 'data' axis, weights replicate over ICI
@@ -246,7 +244,9 @@ def cmd_predict(args) -> int:
         h, w = scene.shape[:2]
         n_tiles = len(plan_tiles(max(h, args.tile), max(w, args.tile),
                                  args.tile, args.overlap))
-        per = min(tile_batch or n_tiles, n_tiles, 64)
+        # an explicit --tile-batch is honored as given (rounded up to the
+        # mesh size); only the DEFAULT is capped at 64/chip
+        per = tile_batch if tile_batch else min(n_tiles, 64)
         tile_batch = n * math.ceil(per / n)
     logits = sliding_window_inference(
         lambda t: predict(variables, t), scene,
@@ -375,7 +375,7 @@ def main(argv=None) -> int:
                                 "from one batch is outlier-fragile)")
             p.add_argument("--calib-stat", default="absmax",
                            help="int8 activation-scale statistic: 'absmax' "
-                                "or a percentile like 'p999' (99.9%%, clips "
+                                "or a percentile like 'p99.9' (clips "
                                 "outliers for finer inlier resolution)")
         if name == "predict":
             p.add_argument("--input", required=True)

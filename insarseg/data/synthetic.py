@@ -29,10 +29,10 @@ def make_synthetic_voc(
 
     ``noise``/``contrast``/``band_width`` tune difficulty: the defaults
     give an easily-learnable task (models saturate near mIoU 0.99 —
-    pipeline QA); a "hard" setting (e.g. noise=0.9, contrast=0.18,
-    band_width=(0.008, 0.03)) keeps trained models in the ~0.6-0.9 mIoU
-    range where architecture differences are measurable (used by the
-    fast-vs-exact head-to-head, benchmarks/fast_vs_ca_synthetic.py)."""
+    pipeline QA). The measured "hard" setting is noise=0.6, contrast=0.2,
+    band_width=(0.01, 0.03) — exactly what
+    benchmarks/fast_vs_ca_synthetic.py --hard uses. Keep noise < 0.8: the
+    phase term is scaled by (0.8 - noise) and would invert beyond that."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)

@@ -94,7 +94,7 @@ def make_engine(
     batch sharded over the mesh's ``data`` axis (weights replicated).
     ``calib_stat``: activation-scale statistic for int8 PTQ — 'absmax'
     (exact, outlier-fragile) or 'p<digits>' percentile clipping (e.g.
-    'p999'; insarseg/ops/quant.py::calib_stat_fn).
+    'p99.9'; insarseg/ops/quant.py::calib_stat_fn).
     """
     model_name = model_name.lower().replace("_", "-")
     if not supported(model_name, attention, engine):
@@ -120,8 +120,12 @@ def make_engine(
             variables = replicate(variables, mesh)
         return lambda images: predict_v(variables, images)
 
-    if engine == "int8" and calib_batches is None:
-        raise ValueError("engine='int8' needs calib_batches")
+    if engine == "int8" and not calib_batches:
+        raise ValueError(
+            "engine='int8' needs at least one calibration batch "
+            "(calib_batches was "
+            f"{'None' if calib_batches is None else 'empty'}); collect "
+            "them with insarseg.engines.collect_calib_batches")
 
     if model_name == "unet-fast":
         from insarseg.models.unet_stem import (
@@ -159,6 +163,35 @@ def make_engine(
     return make_resnet_int8_predict_fn(variables, calib_batches,
                                        argmax=argmax, mesh=mesh,
                                        calib_stat=calib_stat)
+
+
+def collect_calib_batches(loader, n: int, normalize_mean: float = 0.5,
+                          normalize_std: float = 0.5) -> List[Any]:
+    """Peek the first ``n`` batches off a loader as normalized f32 arrays —
+    THE way to collect int8 calibration data from a data loader (one
+    definition shared by the CLI and the benchmarks, so the uint8
+    renormalization and the iterator-close contract can't drift).
+
+    Raises if the loader yields nothing (an empty calibration set would
+    otherwise surface as an opaque KeyError deep inside packing)."""
+    import numpy as np
+
+    peek = iter(loader)
+    calib: List[Any] = []
+    for _ in range(max(n, 1)):
+        try:
+            b = next(peek)
+        except StopIteration:
+            break
+        img = np.asarray(b["image"], np.float32)
+        if b["image"].dtype == np.uint8:
+            img = (img / 255.0 - normalize_mean) / normalize_std
+        calib.append(img)
+    if hasattr(peek, "close"):
+        peek.close()
+    if not calib:
+        raise ValueError("loader yielded no batches to calibrate on")
+    return calib
 
 
 def jit_engine(predict, mesh: Optional[Any]):

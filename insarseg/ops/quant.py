@@ -43,19 +43,30 @@ def calib_stat_fn(stat: str):
     - 'absmax' (default): exact max — no clipping, fragile to a single
       outlier activation blowing up the scale (and with it the rounding
       error of every inlier).
-    - 'pXX[.X]' (e.g. 'p999' = 99.9%, 'p9999' = 99.99%): high quantile of
-      |t| — values beyond the scale saturate at ±127 in requant (symmetric
-      clipping), trading rare saturation for finer inlier resolution.
+    - 'p<percent>' (e.g. 'p99.9', 'p99'): percentile of |t| as a PERCENT
+      in (50, 100) — values beyond the scale saturate at ±127 in requant
+      (symmetric clipping), trading rare saturation for finer inlier
+      resolution. The percent form is unambiguous: 'p99.9' is the 99.9th
+      percentile ('p999' is rejected — 999 is not a percent — rather
+      than silently meaning something surprising).
     """
     if stat == "absmax":
         return lambda t: jnp.max(jnp.abs(t))
-    if stat.startswith("p") and stat[1:].isdigit():
-        q = float("0." + stat[1:])  # p999 -> 0.999
+    if stat.startswith("p"):
+        try:
+            pct = float(stat[1:])
+        except ValueError:
+            pct = float("nan")
+        if not 50.0 < pct < 100.0:
+            raise ValueError(
+                f"bad calibration percentile {stat!r}: expected "
+                "'p<percent>' with 50 < percent < 100, e.g. 'p99.9'")
+        q = pct / 100.0
         return lambda t: jnp.quantile(
             jnp.abs(t).astype(jnp.float32).ravel(), q)
     raise ValueError(
-        f"unknown calibration stat {stat!r}; expected 'absmax' or 'p<digits>'"
-        " (e.g. 'p999' for the 99.9th percentile)")
+        f"unknown calibration stat {stat!r}; expected 'absmax' or "
+        "'p<percent>' (e.g. 'p99.9' for the 99.9th percentile)")
 
 
 def requant(y: jnp.ndarray, s: float) -> jnp.ndarray:

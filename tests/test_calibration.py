@@ -17,12 +17,17 @@ def test_calib_stat_fn_contract():
 
     t = jnp.concatenate([jnp.linspace(-1.0, 1.0, 9999), jnp.array([100.0])])
     assert float(calib_stat_fn("absmax")(t)) == 100.0
-    p = float(calib_stat_fn("p999")(t))
+    p = float(calib_stat_fn("p99.9")(t))
     assert 0.9 < p < 1.2, p  # the outlier is clipped, inliers set the scale
     with pytest.raises(ValueError, match="unknown calibration stat"):
         calib_stat_fn("max")
-    with pytest.raises(ValueError, match="unknown calibration stat"):
-        calib_stat_fn("p99.9")
+    # percents only: 'p999' (not a percent) and 'p100' (would be absmax
+    # but trips users expecting clipping) are rejected loudly, never
+    # silently reinterpreted
+    with pytest.raises(ValueError, match="percentile"):
+        calib_stat_fn("p999")
+    with pytest.raises(ValueError, match="percentile"):
+        calib_stat_fn("p100")
 
 
 def _smooth(rng, shape):
@@ -34,7 +39,7 @@ def _smooth(rng, shape):
 
 def test_percentile_calibration_survives_outlier_batch():
     """A single saturated pixel in the calibration data must not blow up
-    the activation scales: absmax follows the outlier, p999 stays at the
+    the activation scales: absmax follows the outlier, p99.9 stays at the
     inlier range and keeps the argmax agreement with the module graph."""
     from insarseg.models.unet import UNet
 
@@ -49,7 +54,7 @@ def test_percentile_calibration_survives_outlier_batch():
 
     p_abs = pack_unet_int8(variables, [poisoned], s2d=True)
     p_pct = pack_unet_int8(variables, [poisoned], s2d=True,
-                           calib_stat="p999")
+                           calib_stat="p99.9")
     # the outlier drives every absmax scale up from the input onward; the
     # percentile scales stay at the clean batch's order of magnitude
     assert p_abs["scales"]["in"] > 50 * p_pct["scales"]["in"]
@@ -57,7 +62,7 @@ def test_percentile_calibration_survives_outlier_batch():
     x = jnp.asarray(clean)
     want = jnp.argmax(model.apply(variables, x, train=False), -1)
     int8_pct = make_engine("unet", "channel", model, variables, "int8",
-                           calib_batches=[poisoned], calib_stat="p999")
+                           calib_batches=[poisoned], calib_stat="p99.9")
     got = jnp.argmax(int8_pct(x), -1)
     agree = float(jnp.mean((got == want).astype(jnp.float32)))
     assert agree > 0.99, agree
@@ -120,10 +125,14 @@ def test_trained_model_int8_miou_within_bound():
                        calib_batches=calib)
     module = make_engine("unet", "channel", model, variables, "module")
 
+    # ONE held-out eval set scored by both engines — scoring each on
+    # different random draws would conflate sampling noise with
+    # quantization error
+    eval_set = [batch() for _ in range(4)]
+
     def miou(predict):
         counts = None
-        for i in range(4):
-            img, mask = batch()
+        for img, mask in eval_set:
             c = M.confusion_counts(predict(img), mask, 2, 255)
             counts = c if counts is None else \
                 jax.tree.map(jnp.add, counts, c)
