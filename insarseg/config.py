@@ -48,6 +48,12 @@ class Config:
     num_epochs: int = 25
     learning_rate: float = 1e-4
     seed: int = 0
+    # Rematerialize DoubleConv activations in the backward pass (UNet
+    # families only; flax nn.remat per block). Identical grads; measured
+    # NOT to extend the 512^2 batch envelope on v5e (XLA's automatic
+    # remat already runs there — see UNet.remat). Off by default; for
+    # memory shapes XLA's pass misses.
+    remat: bool = False
     log_every_steps: int = 100
     # v1 = (acc, miou) tuple semantics (/root/reference/Unet.py:162-196);
     # v2 = {acc,miou,mpa,mf1} with the OA-denominator quirk

@@ -18,7 +18,8 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def build_model(cfg) -> Any:
     """Construct the Flax module described by a ``insarseg.config.Config``."""
     return build(cfg.model, cfg.attention, num_classes=cfg.num_classes,
-                 backbone=cfg.backbone, dtype=_DTYPES[cfg.compute_dtype])
+                 backbone=cfg.backbone, dtype=_DTYPES[cfg.compute_dtype],
+                 remat=getattr(cfg, "remat", False))
 
 
 def build(
@@ -27,6 +28,7 @@ def build(
     num_classes: int = 2,
     backbone: str = "resnet50",
     dtype: Optional[Any] = None,
+    remat: bool = False,
 ):
     model = model.lower()
     attention = attention.lower()
@@ -36,6 +38,7 @@ def build(
             use_se=attention == "channel",
             use_sa=attention == "spatial",
             dtype=dtype,
+            remat=remat,
         )
     if model in ("unet-fast", "unet_fast"):
         from insarseg.models.unet_stem import UNetFastS2D
@@ -45,6 +48,7 @@ def build(
             use_se=attention == "channel",
             use_sa=attention == "spatial",
             dtype=dtype,
+            remat=remat,
         )
     if model == "deeplabv3":
         return DeepLabV3(num_classes=num_classes, attention=attention,

@@ -52,6 +52,15 @@ class UNet(nn.Module):
     # variant to widen level 1 without scaling the deeper levels.
     features_plan: Optional[Any] = None
     dtype: Optional[Dtype] = None
+    # rematerialize each DoubleConv in the backward pass (flax nn.remat /
+    # jax.checkpoint). Numerically identical grads/BN updates
+    # (tests/test_unet.py::test_remat_identical_training_step). MEASURED
+    # NOT to extend the 512^2 batch envelope on v5e: XLA's automatic
+    # rematerialization pass already runs on this program (the OOM dump
+    # shows .remat fusions), so manual per-block remat leaves peak HBM at
+    # ~22 GB for b32 (vs 21 GB auto) and costs 12% at b16 (43.5 vs 49.2
+    # tiles/s). Kept for memory shapes XLA's pass misses; default off.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -60,16 +69,20 @@ class UNet(nn.Module):
             else (f, f * 2, f * 4, f * 8, f * 16)
         assert len(plan) == 5, plan
         shape_fix = self.use_se if self.shape_fix is None else self.shape_fix
-        dc = lambda feats, name: DoubleConv(
+        # static_argnums=(2,): (0=module, 1=x, 2=train) — train drives
+        # Python-level branching (BN mode) and must stay out of the trace
+        dc_cls = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat \
+            else DoubleConv
+        dc = lambda feats, name: dc_cls(
             feats, use_se=self.use_se, dtype=self.dtype, name=name
         )
 
         # Encoder
-        x1 = dc(plan[0], "inc")(x, train=train)
-        x2 = dc(plan[1], "down1")(max_pool_2d(x1, 2), train=train)
-        x3 = dc(plan[2], "down2")(max_pool_2d(x2, 2), train=train)
-        x4 = dc(plan[3], "down3")(max_pool_2d(x3, 2), train=train)
-        x5 = dc(plan[4], "down4")(max_pool_2d(x4, 2), train=train)
+        x1 = dc(plan[0], "inc")(x, train)
+        x2 = dc(plan[1], "down1")(max_pool_2d(x1, 2), train)
+        x3 = dc(plan[2], "down2")(max_pool_2d(x2, 2), train)
+        x4 = dc(plan[3], "down3")(max_pool_2d(x3, 2), train)
+        x5 = dc(plan[4], "down4")(max_pool_2d(x4, 2), train)
 
         # Decoder
         def up_block(y, skip, feats, idx):
@@ -79,7 +92,7 @@ class UNet(nn.Module):
             y = jnp.concatenate([skip, y], axis=-1)
             if self.use_sa:
                 y = SpatialAttentionDC(dtype=self.dtype, name=f"sa{idx}")(y, train=train)
-            return dc(feats, f"conv{idx}")(y, train=train)
+            return dc(feats, f"conv{idx}")(y, train)
 
         y = up_block(x5, x4, plan[3], 1)
         y = up_block(y, x3, plan[2], 2)

@@ -69,6 +69,7 @@ class UNetFastS2D(nn.Module):
     use_sa: bool = False
     factor: int = 2
     dtype: Optional[Dtype] = None
+    remat: bool = False  # per-DoubleConv rematerialization (see UNet.remat)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -81,6 +82,7 @@ class UNetFastS2D(nn.Module):
             use_sa=self.use_sa,
             shape_fix=False,
             dtype=self.dtype,
+            remat=self.remat,
             name="unet",
         )
         y = inner(space_to_depth(x, f), train=train)

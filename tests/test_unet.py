@@ -84,3 +84,46 @@ def test_unet_jit_and_grad():
     flat = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(a))) for a in flat)
     assert any(np.abs(np.asarray(a)).max() > 0 for a in flat)
+
+
+def test_remat_identical_training_step():
+    """UNet(remat=True) must produce bit-equal logits and numerically
+    identical grads/BN updates — jax.checkpoint only changes WHEN the
+    DoubleConv activations are (re)computed, not what is computed."""
+    import optax
+
+    from insarseg.models.unet import UNet
+    from insarseg.train.engine import create_state, make_train_step
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 1)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (2, 32, 32)), jnp.int32)
+
+    models = [UNet(num_classes=2, base_features=16, use_se=True, remat=r)
+              for r in (False, True)]
+    variables = models[0].init(jax.random.key(0), img)
+    # remat must not change the parameter structure
+    v2 = models[1].init(jax.random.key(0), img)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+
+    # host copy: the train step donates its state, so each model gets
+    # fresh device buffers
+    host_vars = jax.device_get(variables)
+    outs = []
+    for m in models:
+        fresh = jax.tree.map(jnp.asarray, host_vars)
+        y = m.apply(fresh, img, train=False)
+        state = create_state(m, jax.random.key(0), img, tx=optax.sgd(0.1))
+        state = state.replace(params=fresh["params"],
+                              batch_stats=fresh["batch_stats"])
+        step = make_train_step(m, num_classes=2, normalize=None)
+        state, metrics = step(state, img, mask, jax.random.key(7))
+        outs.append((y, metrics["loss"], state.params, state.batch_stats))
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_allclose(float(outs[0][1]), float(outs[1][1]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][2]), jax.tree.leaves(outs[1][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][3]), jax.tree.leaves(outs[1][3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
