@@ -30,8 +30,10 @@ def main() -> None:
     from insarseg.train import engine
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "unet"
-    remat = len(sys.argv) > 4 and sys.argv[4] == "remat"
-    cfg = get_preset(preset, remat=remat)
+    opts = set(sys.argv[5:6]) | set(sys.argv[4:5])
+    cfg = get_preset(
+        preset, remat="remat" in opts,
+        compute_dtype="bfloat16" if "bf16" in opts else "float32")
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else cfg.batch_size
     size = int(sys.argv[3]) if len(sys.argv) > 3 else cfg.image_size
 
@@ -57,7 +59,8 @@ def main() -> None:
     n_chips = len(jax.devices())
     print(json.dumps({
         "metric": f"train_step_{preset}_{size}px_b{batch}"
-                  + ("_remat" if remat else ""),
+                  + ("_remat" if cfg.remat else "")
+                  + ("_bf16" if cfg.compute_dtype == "bfloat16" else ""),
         "value": round(batch / dt / n_chips, 2),
         "unit": "tiles/sec/chip",
         "step_ms": round(dt * 1e3, 2),
