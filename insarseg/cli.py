@@ -141,11 +141,21 @@ def cmd_eval(args) -> int:
 
         loader = PrefetchLoader(loader)
 
-    variables = _load_variables(args, cfg, model)
     engine_name = getattr(args, "engine", "module") or "module"
-    if engine_name != "module":
-        from insarseg.engines import make_engine, supported
+    if getattr(args, "engine_artifact", None):
+        # serve a prebuilt artifact: no checkpoint, no calibration
+        from insarseg.engines import engine_from_artifact
+        from insarseg.engines_io import load_artifact
 
+        predict = engine_from_artifact(load_artifact(args.engine_artifact))
+        eval_step = engine.make_engine_eval_step(
+            predict, cfg.num_classes, cfg.ignore_index,
+            normalize=(cfg.normalize_mean, cfg.normalize_std))
+        variables = {"params": None, "batch_stats": None}
+    elif engine_name != "module":
+        from insarseg.engines import make_engine, pack_engine, supported
+
+        variables = _load_variables(args, cfg, model)
         if not supported(cfg.model, cfg.attention, engine_name):
             raise SystemExit(
                 f"--engine {engine_name} does not support "
@@ -159,13 +169,25 @@ def cmd_eval(args) -> int:
             calib = collect_calib_batches(loader, args.calib_batches,
                                           cfg.normalize_mean,
                                           cfg.normalize_std)
-        predict = make_engine(cfg.model, cfg.attention, model, variables,
+        if getattr(args, "save_engine", None):
+            from insarseg.engines import engine_from_artifact
+            from insarseg.engines_io import save_artifact
+
+            art = pack_engine(cfg.model, cfg.attention, model, variables,
                               engine_name, calib_batches=calib,
                               calib_stat=args.calib_stat)
+            out = save_artifact(args.save_engine, art)
+            print(f"engine artifact written to {out}")
+            predict = engine_from_artifact(art)
+        else:
+            predict = make_engine(cfg.model, cfg.attention, model, variables,
+                                  engine_name, calib_batches=calib,
+                                  calib_stat=args.calib_stat)
         eval_step = engine.make_engine_eval_step(
             predict, cfg.num_classes, cfg.ignore_index,
             normalize=(cfg.normalize_mean, cfg.normalize_std))
     else:
+        variables = _load_variables(args, cfg, model)
         eval_step = engine.make_eval_step(
             model, cfg.num_classes, cfg.ignore_index,
             normalize=(cfg.normalize_mean, cfg.normalize_std))
@@ -191,7 +213,6 @@ def cmd_predict(args) -> int:
     x = (x - cfg.normalize_mean) / cfg.normalize_std
     scene = jnp.asarray(x[..., None])
 
-    variables = _load_variables(args, cfg, model)
     n = len(jax.devices())
     mesh = make_mesh(data=n) if n > 1 else None
 
@@ -202,6 +223,17 @@ def cmd_predict(args) -> int:
         raise SystemExit(
             f"--engine {engine_name} does not support "
             f"({cfg.model}, {cfg.attention})")
+
+    if getattr(args, "engine_artifact", None):
+        # prebuilt serving artifact: no checkpoint load, no calibration
+        from insarseg.engines import engine_from_artifact
+        from insarseg.engines_io import load_artifact
+
+        eng = engine_from_artifact(load_artifact(args.engine_artifact),
+                                   mesh=mesh)
+        return _predict_scene(args, cfg, scene, None, eng, mesh)
+
+    variables = _load_variables(args, cfg, model)
 
     def _scene_calib():
         # --calib-batches groups of 4 tiles spread across the scene (not
@@ -225,13 +257,31 @@ def cmd_predict(args) -> int:
         return [np.asarray(extract_tiles(padded, pos[i:i + group], args.tile))
                 for i in range(0, len(pos) - group + 1, group)]
 
+    calib = _scene_calib() if engine_name == "int8" else None
     # every engine (module/serve/int8) is mesh-shardable: the tile batch
     # shards over the 'data' axis, weights replicate over ICI
-    eng = make_engine(
-        cfg.model, cfg.attention, model, variables, engine_name,
-        calib_batches=_scene_calib() if engine_name == "int8" else None,
-        mesh=mesh, calib_stat=args.calib_stat)
-    predict = lambda _v, t: eng(t)  # noqa: E731
+    if getattr(args, "save_engine", None) and engine_name != "module":
+        from insarseg.engines import engine_from_artifact, pack_engine
+        from insarseg.engines_io import save_artifact
+
+        art = pack_engine(cfg.model, cfg.attention, model, variables,
+                          engine_name, calib_batches=calib,
+                          calib_stat=args.calib_stat)
+        print(f"engine artifact written to "
+              f"{save_artifact(args.save_engine, art)}")
+        eng = engine_from_artifact(art, mesh=mesh)
+    else:
+        eng = make_engine(
+            cfg.model, cfg.attention, model, variables, engine_name,
+            calib_batches=calib, mesh=mesh, calib_stat=args.calib_stat)
+    return _predict_scene(args, cfg, scene, variables, eng, mesh)
+
+
+def _predict_scene(args, cfg, scene, variables, eng, mesh) -> int:
+    del variables  # the engines close over their weights
+    from PIL import Image
+
+    from insarseg.data.stitch import sliding_window_inference
 
     tile_batch = args.tile_batch
     if mesh is not None:
@@ -241,6 +291,7 @@ def cmd_predict(args) -> int:
 
         from insarseg.data.stitch import plan_tiles
 
+        n = len(jax.devices())
         h, w = scene.shape[:2]
         n_tiles = len(plan_tiles(max(h, args.tile), max(w, args.tile),
                                  args.tile, args.overlap))
@@ -249,7 +300,7 @@ def cmd_predict(args) -> int:
         per = tile_batch if tile_batch else min(n_tiles, 64)
         tile_batch = n * math.ceil(per / n)
     logits = sliding_window_inference(
-        lambda t: predict(variables, t), scene,
+        eng, scene,
         tile=args.tile, overlap=args.overlap,
         batch_size=tile_batch,
     )
@@ -377,6 +428,16 @@ def main(argv=None) -> int:
                            help="int8 activation-scale statistic: 'absmax' "
                                 "or a percentile like 'p99.9' (clips "
                                 "outliers for finer inlier resolution)")
+            p.add_argument("--save-engine", default=None,
+                           help="after packing (+ int8 calibration), save "
+                                "the serving-engine artifact to this .npz "
+                                "— serve it later with --engine-artifact "
+                                "(no checkpoint or calibration data "
+                                "needed)")
+            p.add_argument("--engine-artifact", default=None,
+                           help="serve a prebuilt engine artifact "
+                                "(insarseg.engines_io) instead of packing "
+                                "from a checkpoint")
         if name == "predict":
             p.add_argument("--input", required=True)
             p.add_argument("--output", default=None)

@@ -165,6 +165,144 @@ def make_engine(
                                        calib_stat=calib_stat)
 
 
+def pack_engine(
+    model_name: str,
+    attention: str,
+    model: Any,
+    variables: Dict[str, Any],
+    engine: str,
+    calib_batches: Optional[List[Any]] = None,
+    calib_stat: str = "absmax",
+) -> Dict[str, Any]:
+    """Pack (and for int8: calibrate) a serving engine into a portable
+    artifact dict — build once, ``insarseg.engines_io.save_artifact`` it,
+    and serve it anywhere via :func:`engine_from_artifact` without the
+    original variables or calibration data. ``engine='module'`` has no
+    packed form (it is the live Flax graph)."""
+    model_name = model_name.lower().replace("_", "-")
+    if engine == "module":
+        raise ValueError("the module engine is the live Flax graph; "
+                         "artifacts exist for 'serve' and 'int8' only")
+    if not supported(model_name, attention, engine):
+        raise ValueError(f"({model_name}, {attention}, {engine}) unsupported")
+    if engine == "int8" and not calib_batches:
+        raise ValueError("engine='int8' needs calibration batches")
+
+    meta: Dict[str, Any] = {}
+    if model_name == "unet-fast":
+        from insarseg.models.unet_stem import (
+            _inner_variables,
+            space_to_depth,
+        )
+
+        f = model.factor
+        meta = {"factor": f, "num_classes": model.num_classes}
+        inner = _inner_variables(variables)
+        if engine == "serve":
+            from insarseg.models.unet_serve import pack_unet_serve
+
+            tree = pack_unet_serve(inner)
+        else:
+            import numpy as np
+
+            from insarseg.models.unet_int8 import pack_unet_int8
+
+            calib = [np.asarray(space_to_depth(jnp.asarray(b, jnp.float32),
+                                               f)) for b in calib_batches]
+            tree = pack_unet_int8(inner, calib, s2d=False,
+                                  calib_stat=calib_stat)
+    elif model_name == "unet":
+        if engine == "serve":
+            from insarseg.models.unet_serve import pack_unet_serve
+
+            tree = pack_unet_serve(variables)
+        else:
+            from insarseg.models.unet_int8 import pack_unet_int8
+
+            tree = pack_unet_int8(variables, calib_batches,
+                                  s2d=attention != "spatial",
+                                  calib_stat=calib_stat)
+    else:
+        if engine == "serve":
+            from insarseg.models.resnet_serve import pack_resnet_serve
+
+            tree = pack_resnet_serve(variables)
+        else:
+            from insarseg.models.resnet_int8 import pack_resnet_int8
+
+            tree = pack_resnet_int8(variables, calib_batches,
+                                    calib_stat=calib_stat)
+    return {"format": 1, "model": model_name, "attention": attention,
+            "engine": engine, "meta": meta, "tree": tree}
+
+
+def engine_from_artifact(
+    artifact: Dict[str, Any],
+    argmax: bool = False,
+    input_dtype: Optional[Any] = None,
+    mesh: Optional[Any] = None,
+):
+    """Rebuild the jitted ``predict(images)`` from a :func:`pack_engine`
+    artifact (in-memory or loaded via insarseg.engines_io.load_artifact).
+    Bit-exact vs the predict ``make_engine`` builds from the original
+    variables (tests/test_engine_artifacts.py)."""
+    model_name, engine = artifact["model"], artifact["engine"]
+    packed = mesh_replicate_packed(artifact["tree"], mesh)
+
+    if model_name == "unet-fast":
+        from insarseg.models.unet_stem import depth_to_space, space_to_depth
+
+        f = int(artifact["meta"]["factor"])
+        nc = int(artifact["meta"]["num_classes"])
+        if engine == "serve":
+            from insarseg.models.unet_serve import unet_serve_apply as apply
+        else:
+            from insarseg.models.unet_int8 import unet_int8_apply as apply
+
+        def predict(images):
+            check_hw(images.shape, 16 * f, 16 * f, engine, "unet-fast")
+            if engine == "serve" and input_dtype is not None:
+                images = images.astype(input_dtype)
+            y = apply(packed, space_to_depth(images, f))
+            if argmax:
+                b, h, w, _ = y.shape
+                cls = jnp.argmax(y.reshape(b, h, w, f * f, nc), -1)
+                return depth_to_space(cls.astype(jnp.int32), f)[..., 0]
+            return depth_to_space(y, f)
+    elif model_name == "unet":
+        if engine == "serve":
+            from insarseg.models.unet_serve import unet_serve_apply
+
+            def predict(images):
+                check_hw(images.shape, 16, 16, "serve", "unet")
+                if input_dtype is not None:
+                    images = images.astype(input_dtype)
+                return unet_serve_apply(packed, images, argmax=argmax)
+        else:
+            from insarseg.models.unet_int8 import unet_int8_apply
+
+            hdiv = 32 if packed.get("s2d", True) else 16
+
+            def predict(images):
+                check_hw(images.shape, hdiv, 16, "int8", "unet")
+                return unet_int8_apply(packed, images, argmax=argmax)
+    else:
+        if engine == "serve":
+            from insarseg.models.resnet_serve import resnet_serve_apply
+
+            def predict(images):
+                if input_dtype is not None:
+                    images = images.astype(input_dtype)
+                return resnet_serve_apply(packed, images, argmax=argmax)
+        else:
+            from insarseg.models.resnet_int8 import resnet_int8_apply
+
+            def predict(images):
+                return resnet_int8_apply(packed, images, argmax=argmax)
+
+    return jit_engine(predict, mesh)
+
+
 def collect_calib_batches(loader, n: int, normalize_mean: float = 0.5,
                           normalize_std: float = 0.5) -> List[Any]:
     """Peek the first ``n`` batches off a loader as normalized f32 arrays —
