@@ -1,6 +1,9 @@
 """Training-step throughput benchmark (any preset, synthetic data).
 
-Usage: python benchmarks/train_bench.py [preset] [batch] [image_size]
+Usage: python benchmarks/train_bench.py [preset] [batch] [image_size] \
+           [remat] [bf16]
+(``remat``/``bf16`` are positional opt-in flags after batch+size: per-block
+rematerialization and bfloat16 compute — see Config.remat/compute_dtype.)
 Prints one JSON line: steady-state step time and tiles/sec/chip for the
 jitted train step (fwd + bwd + Adam + sync-BN + metrics in one XLA program).
 """
@@ -30,7 +33,7 @@ def main() -> None:
     from insarseg.train import engine
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "unet"
-    opts = set(sys.argv[5:6]) | set(sys.argv[4:5])
+    opts = set(sys.argv[4:6])
     cfg = get_preset(
         preset, remat="remat" in opts,
         compute_dtype="bfloat16" if "bf16" in opts else "float32")

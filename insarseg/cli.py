@@ -153,7 +153,7 @@ def cmd_eval(args) -> int:
             normalize=(cfg.normalize_mean, cfg.normalize_std))
         variables = {"params": None, "batch_stats": None}
     elif engine_name != "module":
-        from insarseg.engines import make_engine, pack_engine, supported
+        from insarseg.engines import supported
 
         variables = _load_variables(args, cfg, model)
         if not supported(cfg.model, cfg.attention, engine_name):
@@ -169,24 +169,17 @@ def cmd_eval(args) -> int:
             calib = collect_calib_batches(loader, args.calib_batches,
                                           cfg.normalize_mean,
                                           cfg.normalize_std)
-        if getattr(args, "save_engine", None):
-            from insarseg.engines import engine_from_artifact
-            from insarseg.engines_io import save_artifact
-
-            art = pack_engine(cfg.model, cfg.attention, model, variables,
-                              engine_name, calib_batches=calib,
-                              calib_stat=args.calib_stat)
-            out = save_artifact(args.save_engine, art)
-            print(f"engine artifact written to {out}")
-            predict = engine_from_artifact(art)
-        else:
-            predict = make_engine(cfg.model, cfg.attention, model, variables,
-                                  engine_name, calib_batches=calib,
-                                  calib_stat=args.calib_stat)
+        predict = _build_engine_maybe_save(args, cfg, model, variables,
+                                           engine_name, calib, mesh=None)
         eval_step = engine.make_engine_eval_step(
             predict, cfg.num_classes, cfg.ignore_index,
             normalize=(cfg.normalize_mean, cfg.normalize_std))
     else:
+        if getattr(args, "save_engine", None):
+            raise SystemExit(
+                "--save-engine needs a packed engine: pass --engine serve "
+                "or --engine int8 (the module engine is the live Flax "
+                "graph and has no artifact form)")
         variables = _load_variables(args, cfg, model)
         eval_step = engine.make_eval_step(
             model, cfg.num_classes, cfg.ignore_index,
@@ -198,11 +191,31 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _build_engine_maybe_save(args, cfg, model, variables, engine_name,
+                             calib, mesh):
+    """The one save-engine flow shared by eval and predict: pack (+save
+    the artifact when --save-engine is set) or build the live engine."""
+    from insarseg.engines import make_engine
+
+    if getattr(args, "save_engine", None):
+        from insarseg.engines import engine_from_artifact, pack_engine
+        from insarseg.engines_io import save_artifact
+
+        art = pack_engine(cfg.model, cfg.attention, model, variables,
+                          engine_name, calib_batches=calib,
+                          calib_stat=args.calib_stat)
+        print(f"engine artifact written to "
+              f"{save_artifact(args.save_engine, art)}")
+        return engine_from_artifact(art, mesh=mesh)
+    return make_engine(cfg.model, cfg.attention, model, variables,
+                       engine_name, calib_batches=calib, mesh=mesh,
+                       calib_stat=args.calib_stat)
+
+
 def cmd_predict(args) -> int:
     """Full-scene sliding-window inference on one grayscale image."""
     from PIL import Image
 
-    from insarseg.data.stitch import sliding_window_inference
     from insarseg.models.registry import build_model
     from insarseg.parallel import make_mesh
 
@@ -216,7 +229,7 @@ def cmd_predict(args) -> int:
     n = len(jax.devices())
     mesh = make_mesh(data=n) if n > 1 else None
 
-    from insarseg.engines import make_engine, supported
+    from insarseg.engines import supported
 
     engine_name = getattr(args, "engine", "module") or "module"
     if not supported(cfg.model, cfg.attention, engine_name):
@@ -231,7 +244,7 @@ def cmd_predict(args) -> int:
 
         eng = engine_from_artifact(load_artifact(args.engine_artifact),
                                    mesh=mesh)
-        return _predict_scene(args, cfg, scene, None, eng, mesh)
+        return _predict_scene(args, cfg, scene, eng, mesh)
 
     variables = _load_variables(args, cfg, model)
 
@@ -257,28 +270,20 @@ def cmd_predict(args) -> int:
         return [np.asarray(extract_tiles(padded, pos[i:i + group], args.tile))
                 for i in range(0, len(pos) - group + 1, group)]
 
+    if getattr(args, "save_engine", None) and engine_name == "module":
+        raise SystemExit(
+            "--save-engine needs a packed engine: pass --engine serve or "
+            "--engine int8 (the module engine is the live Flax graph and "
+            "has no artifact form)")
     calib = _scene_calib() if engine_name == "int8" else None
     # every engine (module/serve/int8) is mesh-shardable: the tile batch
     # shards over the 'data' axis, weights replicate over ICI
-    if getattr(args, "save_engine", None) and engine_name != "module":
-        from insarseg.engines import engine_from_artifact, pack_engine
-        from insarseg.engines_io import save_artifact
-
-        art = pack_engine(cfg.model, cfg.attention, model, variables,
-                          engine_name, calib_batches=calib,
-                          calib_stat=args.calib_stat)
-        print(f"engine artifact written to "
-              f"{save_artifact(args.save_engine, art)}")
-        eng = engine_from_artifact(art, mesh=mesh)
-    else:
-        eng = make_engine(
-            cfg.model, cfg.attention, model, variables, engine_name,
-            calib_batches=calib, mesh=mesh, calib_stat=args.calib_stat)
-    return _predict_scene(args, cfg, scene, variables, eng, mesh)
+    eng = _build_engine_maybe_save(args, cfg, model, variables, engine_name,
+                                   calib, mesh)
+    return _predict_scene(args, cfg, scene, eng, mesh)
 
 
-def _predict_scene(args, cfg, scene, variables, eng, mesh) -> int:
-    del variables  # the engines close over their weights
+def _predict_scene(args, cfg, scene, eng, mesh) -> int:
     from PIL import Image
 
     from insarseg.data.stitch import sliding_window_inference

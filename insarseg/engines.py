@@ -246,7 +246,15 @@ def engine_from_artifact(
     artifact (in-memory or loaded via insarseg.engines_io.load_artifact).
     Bit-exact vs the predict ``make_engine`` builds from the original
     variables (tests/test_engine_artifacts.py)."""
-    model_name, engine = artifact["model"], artifact["engine"]
+    model_name, engine = artifact.get("model"), artifact.get("engine")
+    if artifact.get("format") != 1:
+        raise ValueError(
+            f"unsupported engine-artifact format {artifact.get('format')!r}"
+            " (this build reads format 1)")
+    if model_name not in KNOWN_MODELS or engine not in ("serve", "int8"):
+        raise ValueError(
+            f"bad engine artifact: model={model_name!r}, engine={engine!r}"
+            f" (known models: {KNOWN_MODELS})")
     packed = mesh_replicate_packed(artifact["tree"], mesh)
 
     if model_name == "unet-fast":

@@ -50,6 +50,12 @@ def build(
             dtype=dtype,
             remat=remat,
         )
+    if remat:
+        # only the UNet families implement per-block remat; dropping the
+        # flag silently would read as "remat doesn't help"
+        raise ValueError(
+            f"remat is implemented for the UNet families only, not "
+            f"{model!r}")
     if model == "deeplabv3":
         return DeepLabV3(num_classes=num_classes, attention=attention,
                          backbone=backbone, dtype=dtype)
