@@ -57,6 +57,20 @@ def main() -> None:
             line += f"   argmax agreement vs module: {agree:.4f}"
         print(line)
 
+    # engine artifacts: pack + calibrate once, save, serve from the file
+    # alone (no variables, no calibration data) — bit-exact round trip
+    import tempfile
+
+    from insarseg.engines import engine_from_artifact, pack_engine
+    from insarseg.engines_io import load_artifact, save_artifact
+
+    art = pack_engine(model_name, attention, model, variables, "int8",
+                      calib_batches=calib)
+    path = save_artifact(tempfile.mktemp(prefix="insarseg_eng_"), art)
+    served = engine_from_artifact(load_artifact(path))
+    same = bool(np.array_equal(np.asarray(served(x), np.float32), y))
+    print(f"artifact: saved {path}, reloaded predict bit-identical: {same}")
+
 
 if __name__ == "__main__":
     main()
