@@ -75,6 +75,8 @@ def _measure(predict, images, iters: int) -> float:
 
 
 def _sweep(predict, make_batch, batches, n_chips: int) -> float:
+    from insarseg.utils.retry import is_transient, retry_transient
+
     import os
 
     best = 0.0
@@ -82,8 +84,17 @@ def _sweep(predict, make_batch, batches, n_chips: int) -> float:
         batch = per_chip_batch * n_chips
         iters = int(os.environ.get("BENCH_ITERS", "10"))
         try:
-            dt = _measure(predict, make_batch(batch), iters)
-        except Exception as e:  # e.g. OOM at the largest batch
+            # the axon tunnel drops the odd call with a transient backend
+            # error — retry the measurement once before giving up on it
+            dt = retry_transient(
+                lambda: _measure(predict, make_batch(batch), iters),
+                what=f"measure(batch={batch})", retries=1, sleep_s=20.0)
+        except Exception as e:
+            if is_transient(e):  # still down after the retry: skip this
+                print(f"batch {batch} transient failure persisted: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                continue  # the next batch may land after recovery
+            # deterministic failure (e.g. OOM at the largest batch)
             print(f"batch {batch} failed: {type(e).__name__}", file=sys.stderr)
             break
         best = max(best, iters * batch / dt)
@@ -96,10 +107,17 @@ def main() -> None:
     from insarseg.models.unet_serve import make_serve_predict_fn
     from insarseg.parallel import make_mesh
     from insarseg.parallel.mesh import batch_sharding
+    from insarseg.utils.retry import retry_transient
 
     import os
 
-    n_chips = len(jax.devices())
+    # Backend init is the call that killed the round-3 driver snapshot
+    # (transient axon UNAVAILABLE at jax.devices()); retry with backoff and
+    # a backend-cache reset between attempts.
+    n_chips = retry_transient(
+        lambda: len(jax.devices()),
+        what="jax.devices()", retries=4, sleep_s=15.0, backoff=1.6,
+        reset_backend=True)
     # smoke-test overrides (e.g. the 8-virtual-CPU mesh): the driver runs
     # with defaults on the real chip(s)
     tile = int(os.environ.get("BENCH_TILE", "512"))
@@ -107,7 +125,9 @@ def main() -> None:
                     os.environ.get("BENCH_BATCHES", "64,128").split(","))
 
     model = UNet(num_classes=2, use_se=True, dtype=jnp.bfloat16)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
+    variables = retry_transient(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1))),
+        what="model.init", retries=2, sleep_s=20.0)
     rng = np.random.default_rng(0)
 
     # one ('data',) mesh for every engine when a slice is attached — the
@@ -138,8 +158,10 @@ def main() -> None:
     int8 = fast_bf16 = fast_int8 = 0.0
     try:
         calib = [rng.standard_normal((2, tile, tile, 1)).astype(np.float32)]
-        pred_i8 = make_int8_predict_fn(variables, calib, argmax=True,
-                                       mesh=mesh)
+        pred_i8 = retry_transient(
+            lambda: make_int8_predict_fn(variables, calib, argmax=True,
+                                         mesh=mesh),
+            what="int8 engine build", retries=2, sleep_s=20.0)
         # measured (v5e): b64 599, b128 602, b192 588 tiles/s
         int8 = _sweep(pred_i8, batch_f32, batches, n_chips)
     except Exception as e:
@@ -155,15 +177,20 @@ def main() -> None:
         )
 
         fmodel = UNetFastS2D(num_classes=2, use_se=True, dtype=jnp.bfloat16)
-        fvars = fmodel.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1)))
+        fvars = retry_transient(
+            lambda: fmodel.init(jax.random.key(0),
+                                jnp.zeros((1, tile, tile, 1))),
+            what="fast model.init", retries=2, sleep_s=20.0)
         fserve = make_fast_serve_predict_fn(fmodel, fvars, argmax=True,
                                             mesh=mesh)
         # measured (v5e): bf16 948/1008, int8 1567/1623 at b64/b128
         fast_bf16 = _sweep(fserve, batch_bf16, batches, n_chips)
-        fint8 = make_fast_int8_predict_fn(
-            fmodel, fvars,
-            [rng.standard_normal((2, tile, tile, 1)).astype(np.float32)],
-            argmax=True, mesh=mesh)
+        fint8 = retry_transient(
+            lambda: make_fast_int8_predict_fn(
+                fmodel, fvars,
+                [rng.standard_normal((2, tile, tile, 1)).astype(np.float32)],
+                argmax=True, mesh=mesh),
+            what="fast int8 engine build", retries=2, sleep_s=20.0)
         fast_int8 = _sweep(fint8, batch_f32, batches, n_chips)
     except Exception as e:
         print(f"fast variant failed: {type(e).__name__}", file=sys.stderr)
