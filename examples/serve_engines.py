@@ -11,6 +11,7 @@ one), then runs the same inputs through the module / serve / int8 engines
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -66,7 +67,11 @@ def main() -> None:
 
     art = pack_engine(model_name, attention, model, variables, "int8",
                       calib_batches=calib)
-    path = save_artifact(tempfile.mktemp(prefix="insarseg_eng_"), art)
+    # mkstemp (not the race-prone, deprecated mktemp): the fd holds the
+    # path; save_artifact rewrites the file in place
+    fd, tmp = tempfile.mkstemp(prefix="insarseg_eng_", suffix=".npz")
+    os.close(fd)
+    path = save_artifact(tmp, art)
     served = engine_from_artifact(load_artifact(path))
     same = bool(np.array_equal(np.asarray(served(x), np.float32), y))
     print(f"artifact: saved {path}, reloaded predict bit-identical: {same}")

@@ -164,6 +164,7 @@ class PrefetchLoader:
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         raised = False
+        closed = False
         try:
             while True:
                 item = q.get()
@@ -173,6 +174,13 @@ class PrefetchLoader:
                         raise err[0]
                     return
                 yield item
+        except GeneratorExit:
+            # deliberate early close (fit()'s shape-probe peek, calib peek)
+            # or GC of an abandoned generator: the consumer never asked for
+            # the batch that failed, so a deferred worker error must not
+            # propagate out of close() — it is logged in the finally instead
+            closed = True
+            raise
         finally:
             # consumer closed early (e.g. fit()'s shape-probe peek): unblock
             # the worker's q.put by draining until the thread exits, so no
@@ -184,9 +192,17 @@ class PrefetchLoader:
                 except queue.Empty:
                     pass
             if err and not raised:
-                # a loader failure that raced the early-close window must
-                # not be swallowed by the drain
-                raise err[0]
+                if closed:
+                    import sys
+
+                    print(
+                        "PrefetchLoader: worker error on a prefetched batch "
+                        f"after early close (ignored): {err[0]!r}",
+                        file=sys.stderr)
+                else:
+                    # a loader failure that raced the normal-exhaustion
+                    # window must not be swallowed by the drain
+                    raise err[0]
 
 
 def stitch_accumulate_host(acc: np.ndarray, den: np.ndarray, tile: np.ndarray,

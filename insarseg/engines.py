@@ -232,6 +232,12 @@ def pack_engine(
 
             tree = pack_resnet_int8(variables, calib_batches,
                                     calib_stat=calib_stat)
+    # recorded so serving can cross-check an artifact against the CLI
+    # config (an artifact with a different class count would otherwise
+    # yield silently wrong metrics); absent in pre-round-4 artifacts,
+    # validators must tolerate None
+    nc = getattr(model, "num_classes", None)
+    meta.setdefault("num_classes", int(nc) if nc is not None else None)
     return {"format": 1, "model": model_name, "attention": attention,
             "engine": engine, "meta": meta, "tree": tree}
 

@@ -91,15 +91,35 @@ def _np_dtype(name: str) -> np.dtype:
 
 
 def load_artifact(path: str) -> Dict[str, Any]:
-    """Read an artifact written by :func:`save_artifact`."""
+    """Read an artifact written by :func:`save_artifact`.
+
+    The embedded manifest is validated against the stored bytes: a
+    truncated or tampered file raises a clear ``ValueError`` naming it
+    instead of failing deep inside a numpy reshape."""
     if not path.endswith(".npz"):
         path += ".npz"
-    with np.load(path) as z:
-        spec = json.loads(bytes(z["manifest"]).decode("utf-8"))
-        arrmeta = json.loads(bytes(z["arrmeta"]).decode("utf-8"))
-        arrays = {}
-        for i, m in enumerate(arrmeta):
-            raw = z[f"arr_{i}"]
-            arrays[f"arr_{i}"] = raw.view(_np_dtype(m["dtype"])).reshape(
-                m["shape"])
-        return _decode(spec, arrays)
+    try:
+        with np.load(path) as z:
+            spec = json.loads(bytes(z["manifest"]).decode("utf-8"))
+            arrmeta = json.loads(bytes(z["arrmeta"]).decode("utf-8"))
+            arrays = {}
+            for i, m in enumerate(arrmeta):
+                if f"arr_{i}" not in z:
+                    raise ValueError(
+                        f"manifest lists {len(arrmeta)} arrays but arr_{i} "
+                        "is missing")
+                raw = z[f"arr_{i}"]
+                dtype = _np_dtype(m["dtype"])
+                want = int(np.prod(m["shape"], dtype=np.int64)) * dtype.itemsize
+                if raw.nbytes != want:
+                    raise ValueError(
+                        f"arr_{i} holds {raw.nbytes} bytes but the manifest "
+                        f"says {m['dtype']}{tuple(m['shape'])} = {want} bytes")
+                arrays[f"arr_{i}"] = raw.view(dtype).reshape(m["shape"])
+            return _decode(spec, arrays)
+    except ValueError as e:
+        raise ValueError(f"corrupt engine artifact {path!r}: {e}") from e
+    except (KeyError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"corrupt engine artifact {path!r}: {type(e).__name__}: {e}"
+        ) from e

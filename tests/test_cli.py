@@ -177,6 +177,45 @@ def test_cli_train_raw_u8(workdir):
     assert rc == 0 and os.path.exists("u8hist.json")
 
 
+def test_cli_engine_artifact_roundtrip_and_mismatch(workdir, capsys):
+    """eval --save-engine writes an artifact; predict/eval --engine-artifact
+    serve it; a config mismatch (wrong preset, conflicting --engine) is
+    rejected instead of producing silently wrong metrics (round-3 advisor
+    finding: cli.py never cross-checked the artifact against cfg)."""
+    os.chdir(workdir)
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine", "int8", "--calib-batches", "1",
+                   "--save-engine", "unet_i8"])
+    assert rc == 0 and os.path.exists("unet_i8.npz")
+    capsys.readouterr()
+
+    rc = cli_main(["predict", *BASE, "--engine-artifact", "unet_i8.npz",
+                   "--input", "scene.png", "--tile", "32", "--overlap", "8",
+                   "--output", "pred_art.png"])
+    assert rc == 0 and os.path.exists("pred_art.png")
+
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine-artifact", "unet_i8.npz"])
+    assert rc == 0
+    assert "val_miou" in capsys.readouterr().out
+
+    # wrong preset: the artifact is a unet, the config says deeplabv3
+    with pytest.raises(SystemExit, match="does not match"):
+        cli_main(["eval", "--preset", "deeplabv3", "--image-size", "32",
+                  "--batch-size", "4", "--voc-root", "voc",
+                  "--engine-artifact", "unet_i8.npz"])
+    # conflicting --engine: the artifact is packed int8, not serve
+    with pytest.raises(SystemExit, match="conflicts"):
+        cli_main(["eval", *BASE, "--voc-root", "voc", "--engine", "serve",
+                  "--engine-artifact", "unet_i8.npz"])
+    # explicit calib flags with an artifact: warned as ignored
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine-artifact", "unet_i8.npz",
+                   "--calib-batches", "8"])
+    assert rc == 0
+    assert "ignored" in capsys.readouterr().err
+
+
 def test_cli_predict_unet_fast_variant(workdir):
     """The space-to-depth fast variant runs through predict with both the
     module engine and the int8 engine."""

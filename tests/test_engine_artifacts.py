@@ -112,3 +112,34 @@ def test_pack_engine_rejects_module():
     model, variables = _init("unet", "none")
     with pytest.raises(ValueError, match="live Flax graph"):
         pack_engine("unet", "none", model, variables, "module")
+
+
+def test_artifact_records_num_classes():
+    """pack_engine records num_classes in meta for every family so serving
+    can cross-check an artifact against the CLI config."""
+    for name in ("unet", "fcn"):
+        model, variables = _init(name, "none")
+        art = pack_engine(name, "none", model, variables, "serve")
+        assert art["meta"]["num_classes"] == 2, name
+
+
+def test_load_artifact_rejects_corruption(tmp_path):
+    """Truncated bytes or a gutted manifest must raise a clear 'corrupt
+    engine artifact' error naming the file, not an opaque numpy reshape."""
+    model, variables = _init("unet", "none")
+    art = pack_engine("unet", "none", model, variables, "serve")
+    path = save_artifact(str(tmp_path / "eng"), art)
+
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    payload["arr_0"] = payload["arr_0"][:-3]  # truncate one array
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+    with pytest.raises(ValueError, match="corrupt engine artifact"):
+        load_artifact(path)
+
+    bad = str(tmp_path / "not_an_artifact.npz")
+    with open(bad, "wb") as f:
+        np.savez(f, junk=np.zeros(3))  # no manifest at all
+    with pytest.raises(ValueError, match="corrupt engine artifact"):
+        load_artifact(bad)

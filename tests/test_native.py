@@ -69,6 +69,21 @@ def test_prefetch_propagates_errors():
         list(it)
 
 
+def test_prefetch_early_close_defers_worker_error(capsys):
+    """A failure on a prefetched batch the consumer never requested must
+    not propagate out of close() (fit()'s shape-probe peek and the calib
+    peek close early by design) — it is logged instead."""
+
+    def bad():
+        yield {"image": 1}
+        raise RuntimeError("boom on a prefetched batch")
+
+    it = iter(PrefetchLoader(bad(), depth=2))
+    next(it)
+    it.close()  # must not raise — the consumer never asked for batch 2
+    assert "ignored" in capsys.readouterr().err
+
+
 def test_stitch_accumulate_host_matches_numpy():
     rng = np.random.default_rng(0)
     acc = np.zeros((16, 16, 3), np.float32)
