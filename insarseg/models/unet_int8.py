@@ -26,6 +26,15 @@ bf16/f32 paths stay the default):
   1x1 head stay bf16; max-pooling runs on the int8 codes directly
   (monotonic under a positive scale).
 
+This graph is the measured optimum for the exact architecture under
+jax/Mosaic 0.9.0 (602 tiles/s/chip at 512^2). Every alternative was built,
+bit-exactness-tested, measured SLOWER whole-engine, and retired to git
+history in round 4 — block-sparse and whole-stage Pallas L1 kernels
+(boundary-relayout-bound), deferred SE gates + dual-conv skips, strided-
+slice maxpools, and an int8 1x1 head. The measurements and the re-open
+conditions live in BASELINE.md ("Speed of light" / "Round 3: the int8
+tail" / "Retired code ledger").
+
 Quantization error on trained models is exercised in
 tests/test_unet_int8.py (argmax agreement + bounded logit error on a
 synthetically trained model). Reference model being served:
@@ -156,8 +165,7 @@ def _replay_absmax(pf: Dict, x: jnp.ndarray,
     z = _up4_s2d(y, pf["up4"]["k"], pf["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, pf["up4"]["k"], pf["up4"]["bias"])
     rec("cat4", feats["l1"], z)
-    y2 = dc("conv4", gate(4, jnp.concatenate([feats["l1"], z], -1)), s2d)
-    rec("head.in", y2)  # post-SE conv4 output (int8-head option)
+    dc("conv4", gate(4, jnp.concatenate([feats["l1"], z], -1)), s2d)
     return am
 
 
@@ -169,68 +177,21 @@ def pack_unet_int8(
     variables: Dict[str, Any],
     calib_batches: List[jnp.ndarray],
     s2d: bool = True,
-    l1_kernel: str = "auto",
     calib_stat: str = "absmax",
-    head_int8: bool = False,
-    mp_kernel: str = "auto",
-    defer_gates: bool = False,
 ) -> Dict[str, Any]:
     """UNet variables + calibration images -> int8 serving tree.
 
     ``calib_batches``: a few representative input batches (B, H, W, C_in)
     float32 (normalized, as fed to the model). ``s2d=False`` quantizes the
     standard-layout graph — for models whose level 1 already fills the MXU
-    lanes (the space-to-depth fast variant).
+    lanes (the space-to-depth fast variant) and for the SA cell (per-pixel
+    gates are meaningless across s2d parity lanes).
 
-    ``l1_kernel``: 'pallas' runs the level-1 s2d convs (inc.c2, conv4.c1,
-    conv4.c2 — the ones whose transformed kernels are half structural
-    zeros) through the block-sparse Pallas kernel
-    (insarseg/ops/pallas/s2d_conv_int8.py). Bit-identical codes and faster
-    per-op in-graph (19.8 vs ~26 ms/iter at 512^2 b64), but the engine
-    LOSES end-to-end (511 vs 600 tiles/s): XLA lays conv activations out
-    batch-minor ({3,0,2,1}) while pallas_call is row-major, and the
-    boundary relayouts cost more than the conv win — inc.c1's epilogue
-    un-fuses into a 6.5 ms s32 materialization + 7.9 ms requant/relayout,
-    and reduce_window on row-major codes runs 2x slower (9.2 vs 3.8 ms).
-    Trace tables in BASELINE.md. 'auto' therefore resolves to 'xla';
-    'pallas' stays opt-in until the whole L1 stage (c1+c2+pool+gates)
-    lives inside one kernel with only layout-cheap rim tensors.
-
-    ``head_int8`` / ``mp_kernel`` / ``defer_gates``: round-3 tail
-    restructurings — ALL MEASURED SLOWER than the baseline graph on the
-    chip (603 vs 579/454/555 tiles/s at 512² b128; full table in
-    BASELINE.md "Round 3: the int8 tail") and kept opt-in as documented
-    dead ends: the concat already rides the conv input fusion, the bf16
-    head already fuses with the excite exit, and slice-max lowers worse
-    than reduce_window. defer/slice are bit-identical by construction
-    (monotone requant commutes with max); head_int8 adds one rounding
-    (argmax agreement bounded in tests)."""
-    if l1_kernel not in ("auto", "xla", "pallas", "fused"):
-        raise ValueError(
-            f"unknown l1_kernel {l1_kernel!r}; expected one of "
-            "'auto', 'xla', 'pallas', 'fused'")
-    if l1_kernel in ("pallas", "fused") and not s2d:
-        raise ValueError(
-            f"l1_kernel={l1_kernel!r} requires s2d=True — the block-sparse "
-            "L1 kernels operate on the H-s2d layout; the standard-layout "
-            "graph has no pallas path")
-    if mp_kernel not in ("auto", "rw", "slice"):
-        raise ValueError(f"unknown mp_kernel {mp_kernel!r}; expected "
-                         "'auto', 'rw' (reduce_window) or 'slice'")
-    if head_int8 and l1_kernel == "fused":
-        raise ValueError("head_int8 is incompatible with l1_kernel='fused' "
-                         "(the fused decoder exits bf16 into the head)")
+    This packs exactly one graph — the measured optimum. The retired
+    restructurings (Pallas L1 kernels, deferred gates, slice maxpool,
+    int8 head; all slower whole-engine) are in git history; measurements
+    and re-open conditions in BASELINE.md "Retired code ledger"."""
     pf = pack_unet_s2d(variables) if s2d else pack_unet_folded(variables)
-    if defer_gates:
-        if l1_kernel in ("pallas", "fused"):
-            raise ValueError("defer_gates applies to the XLA graph only")
-        if any(f"sa{i}" in pf for i in range(1, 5)):
-            raise ValueError("defer_gates requires the SE (channel) "
-                             "variant; SA gates are per-pixel")
-        if not all("fc1" in pf[n] for n in
-                   ("inc", "down1", "down2", "down3")):
-            raise ValueError("defer_gates requires SE on every encoder "
-                             "block (the channel-attention cell)")
     import functools
 
     replay = jax.jit(functools.partial(_replay_absmax, s2d=s2d,
@@ -242,9 +203,7 @@ def pack_unet_int8(
             am[k] = max(am.get(k, 0.0), float(v))
     scales = {k: absmax_to_scale(v) for k, v in am.items()}
 
-    packed: Dict[str, Any] = {"scales": scales, "s2d": s2d,
-                              "defer": defer_gates,
-                              "mp": "rw" if mp_kernel == "auto" else mp_kernel}
+    packed: Dict[str, Any] = {"scales": scales, "s2d": s2d}
     # (input scale, t1 scale, output scale-or-None) per DoubleConv; None out
     # means the block exits to bf16 (decoder convs feed bf16 transposed
     # convs; the bottom feeds up1).
@@ -259,9 +218,6 @@ def pack_unet_int8(
         "conv3": ("cat3", "conv3.t1", None),
         "conv4": ("cat4", "conv4.t1", None),
     }
-    if head_int8:
-        # conv4 exits int8 at the calibrated head scale instead of bf16
-        dc_io["conv4"] = ("cat4", "conv4.t1", "head.in")
     for name, (s_in, s_t1, s_out) in dc_io.items():
         src = pf[name]
         has_se = "fc1" in src
@@ -296,44 +252,9 @@ def pack_unet_int8(
     packed["up4"]["cat_s"] = scales["cat4"]
     packed["outc"] = pf["outc"]
     packed["in_s"] = scales["in"]
-    packed["head_q"] = None
-    if head_int8:
-        hk = np.asarray(pf["outc"]["k"], np.float32)
-        qw = quant_weight(hk)
-        bias = pf["outc"]["bias"]
-        packed["head_q"] = {
-            "q": jnp.asarray(qw["q"]),
-            "mult": jnp.asarray(scales["head.in"] * qw["ws"]),
-            "bias": None if bias is None
-            else jnp.asarray(np.asarray(bias, np.float32)),
-        }
     for i in range(1, 5):  # SA variant (standard layout): f32 gate convs
         if f"sa{i}" in pf:
             packed[f"sa{i}"] = pf[f"sa{i}"]
-
-    if l1_kernel == "auto":
-        l1_kernel = "xla"  # pallas loses at the XLA layout boundary (above)
-    if l1_kernel == "fused" and s2d:
-        # whole-L1 kernels: only layout-cheap rim tensors cross the
-        # XLA<->pallas boundary (l1_fused.py docstring)
-        from insarseg.ops.pallas.l1_fused import (
-            pack_l1_decoder,
-            pack_l1_encoder,
-        )
-
-        packed["l1_fused"] = {"enc": pack_l1_encoder(packed["inc"]),
-                              "dec": pack_l1_decoder(packed["conv4"])}
-    if l1_kernel == "pallas" and s2d:
-        from insarseg.ops.pallas.s2d_conv_int8 import pack_sparse_weights
-
-        c2 = packed["inc"]["c2"]["q"].shape[-1]
-        one = [(0, c2)]
-        packed["inc"]["sparse_c2"] = pack_sparse_weights(
-            np.asarray(packed["inc"]["c2"]["q"]), one)
-        packed["conv4"]["sparse_c1"] = pack_sparse_weights(
-            np.asarray(packed["conv4"]["c1"]["q"]), [(0, c2), (c2, 2 * c2)])
-        packed["conv4"]["sparse_c2"] = pack_sparse_weights(
-            np.asarray(packed["conv4"]["c2"]["q"]), one)
     return packed
 
 
@@ -368,72 +289,10 @@ def _conv_i8(xq: jnp.ndarray, blk: Dict) -> jnp.ndarray:
     return _epilogue(_conv_acc(xq, blk["q"]), blk)
 
 
-def _conv_i8_dual(srcs: List[jnp.ndarray], blk: Dict) -> jnp.ndarray:
-    """Concat-input conv as the sum of two convs with the kernel split on
-    input channels: conv(cat([a, b]), W) == conv(a, W[:Ca]) + conv(b, W[Ca:]).
-    Both halves are at the same (concat) activation scale so the shared
-    epilogue is unchanged. This removes the concat materialization and lets
-    a broadcast gate on ``a`` ride the first conv's input fusion (XLA fuses
-    broadcast-multiplies into a conv that consumes them DIRECTLY — measured,
-    CLAUDE.md emitter notes; a concat in between blocks the fusion)."""
-    a, b = srcs
-    ca = a.shape[-1]
-    acc = _conv_acc(a, blk["q"][:, :, :ca, :]) \
-        + _conv_acc(b, blk["q"][:, :, ca:, :])
-    return _epilogue(acc, blk)
-
-
-def _sparse_conv(stacks, xs: List[jnp.ndarray], c: Dict) -> jnp.ndarray:
-    from insarseg.ops.pallas.s2d_conv_int8 import s2d_conv3x3_i8
-
-    return s2d_conv3x3_i8(xs, stacks[0], stacks[1], c["mult"], c["off"],
-                          c["out_s"])
-
-
-def _dc_convs(blk: Dict, xq, dual: bool = False):
-    """The two convs of a DoubleConv on int8 codes; returns the pre-SE
-    tensor (s8 codes or bf16 per the block's exit). ``dual`` evaluates a
-    2-source concat input as split convs (see _conv_i8_dual)."""
-    srcs = xq if isinstance(xq, list) else [xq]
-    if "sparse_c1" in blk:
-        t1 = _sparse_conv(blk["sparse_c1"], srcs, blk["c1"])
-    elif dual and len(srcs) == 2:
-        t1 = _conv_i8_dual(srcs, blk["c1"])
-    else:
-        t1 = _conv_i8(srcs[0] if len(srcs) == 1
-                      else jnp.concatenate(srcs, -1), blk["c1"])
-    if "sparse_c2" in blk:
-        return _sparse_conv(blk["sparse_c2"], [t1], blk["c2"])
-    return _conv_i8(t1, blk["c2"])
-
-
-def _dc_i8_deferred(blk: Dict, xq, s2d: bool, dual: bool = False):
-    """SE DoubleConv with an int8 exit, WITHOUT applying the excite: returns
-    (raw pre-SE codes @ se_pre_s, combined gain sc*(pre_s/out_s)). The gate
-    is positive and per-(batch, channel), so it commutes with max-pooling
-    (applied on the 4x-smaller pooled tensor) and rides the consuming
-    conv's input fusion on the skip path (tail optimization, BASELINE.md
-    round-3 int8 table)."""
-    yq = _dc_convs(blk, xq, dual=dual)
-    pooled = _se_pool(yq.astype(jnp.float32), s2d) * blk["se_pre_s"]
-    sc = _se_scales(blk, pooled)
-    if s2d:
-        sc = jnp.concatenate([sc, sc], -1)
-    gain = sc * (blk["se_pre_s"] / blk["se_out_s"])
-    return yq, gain
-
-
-def _gate_requant(yq: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
-    """Apply a deferred per-(B,C) excite gain to raw codes and requantize."""
-    y = yq.astype(jnp.float32) * gain[:, None, None, :]
-    return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
-
-
-def _dc_i8(blk: Dict, xq, s2d: bool, dual: bool = False):
-    """One DoubleConv on int8 codes (``xq`` may be a list of sources for a
-    concat-input block). Returns s8 codes at the block's output scale, or
-    bf16 when the block exits the int8 domain."""
-    yq = _dc_convs(blk, xq, dual=dual)
+def _dc_i8(blk: Dict, xq: jnp.ndarray, s2d: bool) -> jnp.ndarray:
+    """One DoubleConv on int8 codes. Returns s8 codes at the block's output
+    scale, or bf16 when the block exits the int8 domain."""
+    yq = _conv_i8(_conv_i8(xq, blk["c1"]), blk["c2"])
     if "fc1" not in blk:
         return yq
     # squeeze from the codes (reads s8, not a materialized f32 tensor)
@@ -465,32 +324,6 @@ def _maxpool_i8(yq: jnp.ndarray) -> jnp.ndarray:
                              (1, 2, 2, 1), "VALID")
 
 
-def _maxpool_i8_slice(yq: jnp.ndarray) -> jnp.ndarray:
-    """2x2 maxpool as strided-slice maxima (no reduce_window — the TPU
-    reduce_window emitters run ~2x off the BW roofline; measured variant)."""
-    r = jnp.maximum(yq[:, 0::2], yq[:, 1::2])
-    return jnp.maximum(r[:, :, 0::2], r[:, :, 1::2])
-
-
-def _maxpool_exit_s2d_slice(x2s: jnp.ndarray) -> jnp.ndarray:
-    """s2d maxpool exit as lane-half max + strided-slice W-pair max."""
-    c2 = x2s.shape[-1]
-    rowmax = jnp.maximum(x2s[..., : c2 // 2], x2s[..., c2 // 2:])
-    return jnp.maximum(rowmax[:, :, 0::2], rowmax[:, :, 1::2])
-
-
-def _mp(yq: jnp.ndarray, packed: Dict) -> jnp.ndarray:
-    if packed.get("mp") == "slice":
-        return _maxpool_i8_slice(yq)
-    return _maxpool_i8(yq)
-
-
-def _mp_exit(x2s: jnp.ndarray, packed: Dict) -> jnp.ndarray:
-    if packed.get("mp") == "slice":
-        return _maxpool_exit_s2d_slice(x2s)
-    return _maxpool_exit_s2d(x2s)
-
-
 def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
                     argmax: bool = False) -> jnp.ndarray:
     """int8 eval-mode forward. ``x``: (B, H, W, C_in) float (normalized)."""
@@ -498,59 +331,15 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     nc = packed["outc"]["nc"]
     x2 = _h_s2d(x.astype(jnp.float32)) if s2d else x.astype(jnp.float32)
     xq = _requant(x2, packed["in_s"])
-    fused = "l1_fused" in packed
-    if fused:
-        # fused encoder kernel + deferred SE gate: x1s never materializes;
-        # the maxpool exit is gated on the 4x-smaller pooled codes
-        # (requant/max commute with the positive per-channel gate). inc.c1
-        # stays in XLA behind a barrier so its epilogue fuses in XLA's own
-        # conv layout before the one cheap relayout into the kernel.
-        from insarseg.ops.pallas.l1_fused import l1_encoder_i8
+    x1s = _dc_i8(packed["inc"], xq, s2d=s2d)  # s8 @ cat4 scale
+    y = _maxpool_exit_s2d(x1s) if s2d else _maxpool_i8(x1s)
 
-        inc = packed["inc"]
-        t1 = jax.lax.optimization_barrier(_conv_i8(xq, inc["c1"]))
-        yq_inc, mp2, pools = l1_encoder_i8(t1, packed["l1_fused"]["enc"])
-        c = pools.shape[-1] // 2
-        n = yq_inc.shape[1] * yq_inc.shape[2]
-        pooled = 0.5 * (pools[:, :c] + pools[:, c:]) / n * inc["se_pre_s"]
-        sc = _se_scales(inc, pooled)
-        gain128 = jnp.concatenate([sc, sc], -1) \
-            * (inc["se_pre_s"] / inc["se_out_s"])
-        gain64 = sc * (inc["se_pre_s"] / inc["se_out_s"])
-        y = jnp.clip(jnp.rint(mp2.astype(jnp.float32)
-                              * gain64[:, None, None, :]),
-                     -127, 127).astype(jnp.int8)
-    elif packed.get("defer", False):
-        # deferred-SE tail: encoder blocks return RAW pre-SE codes; the
-        # excite gate is applied (a) after the 4x-smaller maxpool on the
-        # pooled path (max commutes with the positive per-(B,C) gain) and
-        # (b) directly feeding the decoder's split conv on the skip path
-        # (broadcast-multiplies ride a conv's input fusion when consumed
-        # directly — a concat in between blocks it, hence _conv_i8_dual)
-        x1s, g_l1 = _dc_i8_deferred(packed["inc"], xq, s2d=s2d)
-        if s2d:
-            # the s2d maxpool exit folds the lane halves back to C lanes;
-            # the duplicated gain halves are identical — use the first
-            y = _gate_requant(_mp_exit(x1s, packed),
-                              g_l1[:, : g_l1.shape[-1] // 2])
-        else:
-            y = _gate_requant(_mp(x1s, packed), g_l1)
-    else:
-        x1s = _dc_i8(packed["inc"], xq, s2d=s2d)  # s8 @ cat4 scale
-        y = _mp_exit(x1s, packed) if s2d else _mp(x1s, packed)
-
-    defer = packed.get("defer", False)
     skips = {}
     for i in range(1, 5):
-        if defer and i < 4:
-            raw, g = _dc_i8_deferred(packed[f"down{i}"], y, s2d=False)
-            skips[f"l{i + 1}"] = (raw, g)
-            y = _gate_requant(_mp(raw, packed), g)
-        else:
-            y = _dc_i8(packed[f"down{i}"], y, s2d=False)
-            skips[f"l{i + 1}"] = y
-            if i < 4:
-                y = _mp(y, packed)
+        y = _dc_i8(packed[f"down{i}"], y, s2d=False)
+        skips[f"l{i + 1}"] = y
+        if i < 4:
+            y = _maxpool_i8(y)
     # bottom y is bf16 (down4 exits the int8 domain for the decoder)
 
     for i, skip in ((1, "l4"), (2, "l3"), (3, "l2")):
@@ -558,11 +347,6 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
         z = _conv_transpose_k2s2(y, up["k"], up["bias"])
         zq = _requant(z.astype(jnp.float32), up["cat_s"])
         # skip is int8 at this same concat scale by construction
-        if defer:
-            raw, g = skips[skip]
-            y = _dc_i8(packed[f"conv{i}"], [_gate_requant(raw, g), zq],
-                       s2d=False, dual=True)
-            continue
         catq = jnp.concatenate([skips[skip], zq], -1)
         if f"sa{i}" in packed:
             catq = _sa_gate_i8(packed[f"sa{i}"], catq, up["cat_s"])
@@ -571,50 +355,14 @@ def unet_int8_apply(packed: Dict[str, Any], x: jnp.ndarray,
     z = _up4_s2d(y, packed["up4"]["k"], packed["up4"]["bias"]) if s2d else \
         _conv_transpose_k2s2(y, packed["up4"]["k"], packed["up4"]["bias"])
     zq = _requant(z.astype(jnp.float32), packed["up4"]["cat_s"])
-    if fused:
-        # fused decoder kernel: gates the skip codes per loaded row and
-        # consumes skip||up without the concat; SE excite folds into the
-        # bf16 exit feeding the head dot
-        from insarseg.ops.pallas.l1_fused import l1_decoder_i8
+    cat_in = jnp.concatenate([x1s, zq], -1)
+    if "sa4" in packed:
+        cat_in = _sa_gate_i8(packed["sa4"], cat_in, packed["up4"]["cat_s"])
+    y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
 
-        blk4 = packed["conv4"]
-        y2q, pools4 = l1_decoder_i8(yq_inc, zq, gain128,
-                                    packed["l1_fused"]["dec"])
-        pooled4 = 0.5 * (pools4[:, :c] + pools4[:, c:]) / n \
-            * blk4["se_pre_s"]
-        sc4 = _se_scales(blk4, pooled4)
-        g4 = (jnp.concatenate([sc4, sc4], -1)
-              * blk4["se_pre_s"]).astype(jnp.bfloat16)
-        y2 = y2q.astype(jnp.bfloat16) * g4[:, None, None, :]
-    elif defer:
-        y2 = _dc_i8(packed["conv4"], [_gate_requant(x1s, g_l1), zq],
-                    s2d=s2d, dual=True)
-    else:
-        # dual-source sparse kernel consumes skip||up without materializing
-        # the concat; the dense path concatenates inside _dc_i8
-        if "sparse_c1" in packed["conv4"]:
-            cat_in = [x1s, zq]
-        else:
-            cat_in = jnp.concatenate([x1s, zq], -1)
-            if "sa4" in packed:
-                cat_in = _sa_gate_i8(packed["sa4"], cat_in,
-                                     packed["up4"]["cat_s"])
-        y2 = _dc_i8(packed["conv4"], cat_in, s2d=s2d)
-
-    if packed.get("head_q") is not None:
-        # int8 head on the codes: conv4 requantizes at the calibrated
-        # head scale (0.25x the bf16-exit HBM traffic) and the 1x1 head
-        # runs int8 x int8 -> int32 with dequant in the epilogue
-        hq = packed["head_q"]
-        acc = lax.dot_general(y2, hq["q"], (((3,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-        logits2 = acc.astype(jnp.float32) * hq["mult"]
-        if hq["bias"] is not None:
-            logits2 = logits2 + hq["bias"]
-    else:
-        logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
-        if packed["outc"]["bias"] is not None:
-            logits2 = logits2 + packed["outc"]["bias"].astype(logits2.dtype)
+    logits2 = y2 @ packed["outc"]["k"].astype(y2.dtype)
+    if packed["outc"]["bias"] is not None:
+        logits2 = logits2 + packed["outc"]["bias"].astype(logits2.dtype)
 
     if not s2d:
         if argmax:
@@ -634,11 +382,7 @@ def make_int8_predict_fn(variables: Dict[str, Any],
                          calib_batches: List[jnp.ndarray],
                          argmax: bool = False,
                          s2d: bool = True,
-                         l1_kernel: str = "auto",
                          calib_stat: str = "absmax",
-                         head_int8: bool = False,
-                         mp_kernel: str = "auto",
-                         defer_gates: bool = False,
                          mesh=None):
     """Calibrate + pack once; return a jitted int8 ``predict(images)``.
 
@@ -650,9 +394,7 @@ def make_int8_predict_fn(variables: Dict[str, Any],
 
     packed = mesh_replicate_packed(
         pack_unet_int8(variables, calib_batches, s2d=s2d,
-                       l1_kernel=l1_kernel, calib_stat=calib_stat,
-                       head_int8=head_int8, mp_kernel=mp_kernel,
-                       defer_gates=defer_gates), mesh)
+                       calib_stat=calib_stat), mesh)
     # the H-s2d graph halves H before the 5-level pyramid
     hdiv = 32 if s2d else 16
 

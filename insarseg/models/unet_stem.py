@@ -125,15 +125,9 @@ def make_fast_serve_predict_fn(model: UNetFastS2D, variables,
 
 def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
                               argmax: bool = False, mesh=None,
-                              calib_stat: str = "absmax",
-                              head_int8: bool = False,
-                              mp_kernel: str = "auto",
-                              defer_gates: bool = False):
+                              calib_stat: str = "absmax"):
     """int8 PTQ serving of the fast variant: standard-layout (no-s2d)
-    quantized graph (insarseg/models/unet_int8.py) on the inner UNet.
-    ``head_int8``/``mp_kernel``/``defer_gates``: the round-3 tail
-    optimizations (see pack_unet_int8) — the standard-layout graph
-    supports all three."""
+    quantized graph (insarseg/models/unet_int8.py) on the inner UNet."""
     import numpy as np
 
     from insarseg.engines import check_hw, jit_engine, mesh_replicate_packed
@@ -144,8 +138,7 @@ def make_fast_int8_predict_fn(model: UNetFastS2D, variables, calib_batches,
              for b in calib_batches]
     packed = mesh_replicate_packed(
         pack_unet_int8(_inner_variables(variables), calib, s2d=False,
-                       calib_stat=calib_stat, head_int8=head_int8,
-                       mp_kernel=mp_kernel, defer_gates=defer_gates), mesh)
+                       calib_stat=calib_stat), mesh)
 
     def predict(images):
         check_hw(images.shape, 16 * f, 16 * f, "int8", "unet-fast")

@@ -20,8 +20,9 @@ Plus :class:`DoubleConv` ((Conv3x3 -> BN -> ReLU) x2, optional SE tail,
 
 All blocks are NHWC and jit-friendly (static shapes, no Python branches on
 traced values). The SE/CBAM "squeeze" paths reduce to tiny matmuls that XLA
-fuses with the surrounding rescale; a hand-fused Pallas variant lives in
-``insarseg.ops.pallas`` for the inference hot path.
+fuses with the surrounding rescale (hand-fused Pallas variants were built,
+measured slower than XLA's emitters, and retired — BASELINE.md "Retired
+code ledger").
 """
 
 from __future__ import annotations

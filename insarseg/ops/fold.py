@@ -3,8 +3,8 @@
 In eval mode BatchNorm is the affine map ``y = x * s + t`` with
 ``s = gamma / sqrt(var + eps)`` and ``t = beta - mean * s``. Folding it into
 the preceding conv's epilogue (or into the conv weights themselves) removes
-a full HBM round-trip per BN — the arithmetic the fused Pallas kernels in
-``insarseg.ops.pallas`` consume.
+a full HBM round-trip per BN — the arithmetic every packed serving graph
+(unet_serve/unet_s2d/resnet_serve) consumes.
 """
 
 from __future__ import annotations

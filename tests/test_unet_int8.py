@@ -73,42 +73,6 @@ def test_int8_argmax_path(trained):
                                   np.asarray(jnp.argmax(logits, -1)))
 
 
-def test_int8_pallas_l1_matches_xla(trained):
-    """l1_kernel='pallas' (block-sparse s2d kernel, interpret mode on CPU)
-    must reproduce the dense-XLA engine's codes (<=1-code requant ties)."""
-    _, variables, calib = trained
-    rng = np.random.default_rng(9)
-    img, _ = _task_batch(rng, 2)
-    base = unet_int8_apply(pack_unet_int8(variables, calib,
-                                          l1_kernel="xla"), img)
-    fast = unet_int8_apply(pack_unet_int8(variables, calib,
-                                          l1_kernel="pallas"), img)
-    b = np.asarray(base, np.float32)
-    f = np.asarray(fast, np.float32)
-    # logits pass through bf16 tails; compare argmax + close logits
-    agree = float((b.argmax(-1) == f.argmax(-1)).mean())
-    assert agree > 0.995, agree
-    np.testing.assert_allclose(f, b, rtol=0.05, atol=0.05)
-
-
-def test_int8_fused_l1_matches_xla(trained):
-    """l1_kernel='fused' (whole-L1 kernels + deferred SE gates) must
-    reproduce the dense engine (gate deferral is bit-exact; requant ties
-    allow <=1-code drift)."""
-    _, variables, calib = trained
-    rng = np.random.default_rng(10)
-    img, _ = _task_batch(rng, 2)
-    base = unet_int8_apply(pack_unet_int8(variables, calib,
-                                          l1_kernel="xla"), img)
-    fast = unet_int8_apply(pack_unet_int8(variables, calib,
-                                          l1_kernel="fused"), img)
-    b = np.asarray(base, np.float32)
-    f = np.asarray(fast, np.float32)
-    agree = float((b.argmax(-1) == f.argmax(-1)).mean())
-    assert agree > 0.995, agree
-    np.testing.assert_allclose(f, b, rtol=0.05, atol=0.05)
-
-
 def test_int8_plain_unet_no_se():
     """The plain (no-SE) variant quantizes through the same pack."""
     rng = np.random.default_rng(1)
@@ -136,65 +100,3 @@ def test_int8_sa_variant_standard_layout():
     assert got.shape == want.shape
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.98, corr
-
-
-def test_tail_options_bit_identical(trained):
-    """The round-3 tail optimizations must not change a single logit:
-    - defer_gates: max-pooling commutes exactly with the monotone
-      clip(rint(g*x)) per-(B,C) excite (g > 0), and the dual-conv split is
-      the same int32 accumulation in two exact pieces;
-    - mp_kernel='slice': strided-slice maxima compute the same 2x2 max as
-      reduce_window."""
-    model, variables, calib = trained
-    rng = np.random.default_rng(11)
-    img, _ = _task_batch(rng, 4)
-    base = unet_int8_apply(pack_unet_int8(variables, calib), img)
-    for kw in ({"defer_gates": True}, {"mp_kernel": "slice"},
-               {"defer_gates": True, "mp_kernel": "slice"}):
-        got = unet_int8_apply(pack_unet_int8(variables, calib, **kw), img)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
-                                      err_msg=str(kw))
-
-
-def test_tail_options_standard_layout(trained):
-    """defer_gates + slice maxpool on the standard-layout (s2d=False)
-    graph too — the layout the fast variant's int8 engine uses."""
-    model, variables, calib = trained
-    rng = np.random.default_rng(12)
-    img, _ = _task_batch(rng, 4)
-    base = unet_int8_apply(pack_unet_int8(variables, calib, s2d=False), img)
-    got = unet_int8_apply(
-        pack_unet_int8(variables, calib, s2d=False, defer_gates=True,
-                       mp_kernel="slice"), img)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
-
-
-def test_head_int8_tracks_f32(trained):
-    """head_int8 adds one more rounding (conv4 exit at the calibrated head
-    scale + int8 head weights): argmax agreement must stay high and the
-    logit error bounded."""
-    model, variables, calib = trained
-    rng = np.random.default_rng(13)
-    img, _ = _task_batch(rng, 4)
-    want = model.apply(variables, img, train=False)
-    got = unet_int8_apply(
-        pack_unet_int8(variables, calib, head_int8=True), img)
-    agree = float(jnp.mean(
-        (jnp.argmax(got, -1) == jnp.argmax(want, -1)).astype(jnp.float32)))
-    assert agree > 0.98, agree
-    scale = float(jnp.max(jnp.abs(want)))
-    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) / scale
-    assert err < 0.1, err
-
-
-def test_tail_option_validation(trained):
-    model, variables, calib = trained
-    with pytest.raises(ValueError, match="mp_kernel"):
-        pack_unet_int8(variables, calib, mp_kernel="reshape")
-    with pytest.raises(ValueError, match="fused"):
-        pack_unet_int8(variables, calib, head_int8=True, l1_kernel="fused")
-    # defer requires SE everywhere: the plain cell must be rejected
-    plain = UNet(num_classes=2, base_features=16)
-    pvars = plain.init(jax.random.key(0), jnp.zeros((1, HW, HW, 1)))
-    with pytest.raises(ValueError, match="SE on every encoder"):
-        pack_unet_int8(pvars, calib, defer_gates=True)

@@ -68,7 +68,7 @@ def test_s2d_bf16_close_to_f32():
     want = model.apply(variables, x32, train=False)
     got = unet_s2d_apply(pack_unet_s2d(variables), x32.astype(jnp.bfloat16))
     diff = np.abs(np.asarray(got, np.float32) - np.asarray(want))
-    assert diff.max() < 0.15, diff.max()  # bf16 noise, same as unet_fast
+    assert diff.max() < 0.15, diff.max()  # bf16 accumulation noise
 
 
 def test_s2d_rejects_sa_variant():
