@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from insarseg.data.augment import normalize_u8, random_dihedral
 
@@ -45,6 +46,7 @@ def test_dihedral_actually_transforms_and_is_deterministic():
     )
 
 
+@pytest.mark.slow
 def test_train_step_with_augment_and_u8_input():
     from insarseg.models.unet import UNet
     from insarseg.train import engine

@@ -37,6 +37,7 @@ def _smooth(rng, shape):
         jnp.asarray(coarse, jnp.float32), shape, "bilinear"))
 
 
+@pytest.mark.slow
 def test_percentile_calibration_survives_outlier_batch():
     """A single saturated pixel in the calibration data must not blow up
     the activation scales: absmax follows the outlier, p99.9 stays at the

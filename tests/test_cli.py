@@ -26,6 +26,7 @@ def workdir(tmp_path_factory):
 BASE = ["--preset", "unet", "--image-size", "32", "--batch-size", "4"]
 
 
+@pytest.mark.slow
 def test_cli_train_eval_export_roundtrip(workdir):
     os.chdir(workdir)
     rc = cli_main(["train", *BASE, "--voc-root", "voc", "--num-epochs", "1",
@@ -71,6 +72,7 @@ def test_cli_predict(workdir):
 
 
 @pytest.mark.parametrize("engine", ["serve", "int8"])
+@pytest.mark.slow
 def test_cli_predict_fast_engines(workdir, engine):
     """predict --engine serve/int8 — UNet-CA, self-calibrated for int8."""
     os.chdir(workdir)
@@ -148,6 +150,7 @@ def test_cli_export_torch_pspnet_rejected(workdir):
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_cli_train_resume(workdir):
     """Interrupt/resume: 1 epoch saved, then --resume continues to 3 epochs
     and the merged history has all three."""
@@ -168,6 +171,7 @@ def test_cli_train_resume(workdir):
     assert [h["epoch"] for h in json.load(open("rhist.json"))] == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_cli_train_raw_u8(workdir):
     """--raw-u8 ships uint8 tiles; init + train must work from scratch."""
     os.chdir(workdir)
@@ -177,6 +181,7 @@ def test_cli_train_raw_u8(workdir):
     assert rc == 0 and os.path.exists("u8hist.json")
 
 
+@pytest.mark.slow
 def test_cli_engine_artifact_roundtrip_and_mismatch(workdir, capsys):
     """eval --save-engine writes an artifact; predict/eval --engine-artifact
     serve it; a config mismatch (wrong preset, conflicting --engine) is

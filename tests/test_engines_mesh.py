@@ -95,6 +95,7 @@ def test_unet_fast_engine_8way_matches_single(engine):
     "name,attention,engine",
     [("deeplabv3", "channel", "serve"), ("fcn", "channel", "int8")],
 )
+@pytest.mark.slow
 def test_resnet_engine_8way_matches_single(name, attention, engine):
     model, variables, x = _init_resnet(name, attention)
     y1, y8 = _engine_pair(name, attention, model, variables, engine, x)
@@ -116,6 +117,7 @@ def test_deeplab_spatial_sharded_inference_matches():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fcn_se_data_parallel_train_step_matches():
     """FCN-SE is the drift-compounding case: SE bottlenecks everywhere and
     53 BatchNorms whose moments must sync via global-batch reductions."""

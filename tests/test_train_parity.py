@@ -28,6 +28,9 @@ from insarseg.models.unet import UNet
 from insarseg.train import engine
 from tests import torch_ref as TR
 
+# multi-minute f64 multi-step runs: the round-4 dev loop is -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _to_torch_tree(tree, grad: bool):
     out = {}

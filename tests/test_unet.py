@@ -86,6 +86,7 @@ def test_unet_jit_and_grad():
     assert any(np.abs(np.asarray(a)).max() > 0 for a in flat)
 
 
+@pytest.mark.slow
 def test_remat_identical_training_step():
     """UNet(remat=True) must produce bit-equal logits and numerically
     identical grads/BN updates — jax.checkpoint only changes WHEN the
