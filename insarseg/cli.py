@@ -285,7 +285,13 @@ def _build_engine_maybe_save(args, cfg, model, variables, engine_name,
 
 
 def cmd_predict(args) -> int:
-    """Full-scene sliding-window inference on one grayscale image."""
+    """Full-scene sliding-window inference on grayscale scene image(s).
+
+    With several ``--input`` scenes, same-shaped scenes share one tile
+    plan and stream through fixed-shape batched forward chunks
+    (``data/stitch.py::sliding_window_inference_batched``) — the serving
+    configuration that saturates the chip (2.5x the single-scene
+    dispatch rate at 1024^2, BASELINE.md "Round 4")."""
     from PIL import Image
 
     from insarseg.models.registry import build_model
@@ -294,10 +300,16 @@ def cmd_predict(args) -> int:
     cfg = _build_cfg(args)
     explicit_calib = _resolve_calib_flags(args)
     model = build_model(cfg)
-    img = Image.open(args.input).convert("L")
-    x = np.asarray(img, np.float32) / 255.0
-    x = (x - cfg.normalize_mean) / cfg.normalize_std
-    scene = jnp.asarray(x[..., None])
+    scenes = []
+    for path in args.input:
+        img = Image.open(path).convert("L")
+        x = np.asarray(img, np.float32) / 255.0
+        x = (x - cfg.normalize_mean) / cfg.normalize_std
+        scenes.append(jnp.asarray(x[..., None]))
+    # int8 self-calibration samples tiles from the first scene (scenes in
+    # one predict call are assumed statistically alike; calibrate offline
+    # via eval --save-engine when they are not)
+    scene = scenes[0]
 
     n = len(jax.devices())
     mesh = make_mesh(data=n) if n > 1 else None
@@ -318,7 +330,7 @@ def cmd_predict(args) -> int:
         art = load_artifact(args.engine_artifact)
         _check_artifact_vs_cfg(art, cfg, args, explicit_calib)
         eng = engine_from_artifact(art, mesh=mesh)
-        return _predict_scene(args, cfg, scene, eng, mesh)
+        return _predict_scenes(args, cfg, scenes, eng, mesh)
 
     variables = _load_variables(args, cfg, model)
 
@@ -354,42 +366,79 @@ def cmd_predict(args) -> int:
     # shards over the 'data' axis, weights replicate over ICI
     eng = _build_engine_maybe_save(args, cfg, model, variables, engine_name,
                                    calib, mesh)
-    return _predict_scene(args, cfg, scene, eng, mesh)
+    return _predict_scenes(args, cfg, scenes, eng, mesh)
 
 
-def _predict_scene(args, cfg, scene, eng, mesh) -> int:
+def _tile_batch_for(args, n_total_tiles: int, mesh) -> "int | None":
+    """Forward-chunk size: an explicit --tile-batch is honored (rounded up
+    to the mesh size under sharding); the DEFAULT fills the chip at 64
+    tiles/chip without exceeding the serve path's memory envelope."""
+    tile_batch = args.tile_batch
+    if mesh is None:
+        return tile_batch
+    # the sharded tile batch must be a multiple of the mesh; partial
+    # chunks are padded to the batch size inside the stitch helpers
+    import math
+
+    n = len(jax.devices())
+    per = tile_batch if tile_batch else min(n_total_tiles, 64)
+    return n * math.ceil(per / n)
+
+
+def _predict_scenes(args, cfg, scenes, eng, mesh) -> int:
+    """Write one ``*_pred.png`` per input scene. Same-shaped scenes share
+    one tile plan and run through the batched multi-scene pipeline — one
+    stream of fixed-shape forward chunks fills the chip(s) regardless of
+    per-scene tile counts (2.5x the 1-scene dispatch rate at 1024^2,
+    measured on the v5e — BASELINE.md "Round 4")."""
     from PIL import Image
 
-    from insarseg.data.stitch import sliding_window_inference
+    from insarseg.data.stitch import (
+        plan_tiles,
+        sliding_window_inference,
+        sliding_window_inference_batched,
+    )
 
-    tile_batch = args.tile_batch
-    if mesh is not None:
-        # the sharded tile batch must be a multiple of the mesh; partial
-        # chunks are padded to the batch size by sliding_window_inference
-        import math
+    if args.output and len(args.input) > 1:
+        os.makedirs(args.output, exist_ok=True)
 
-        from insarseg.data.stitch import plan_tiles
+    def _out_path(path: str) -> str:
+        stem = os.path.splitext(path)[0] + "_pred.png"
+        if not args.output:
+            return stem
+        if len(args.input) == 1:
+            return args.output
+        return os.path.join(args.output, os.path.basename(stem))
 
-        n = len(jax.devices())
-        h, w = scene.shape[:2]
+    # group inputs by scene shape: one tile plan (and one compiled stitch
+    # program) per distinct shape, batched within each group
+    groups: "dict[tuple, list[int]]" = {}
+    for i, sc in enumerate(scenes):
+        groups.setdefault(sc.shape, []).append(i)
+
+    gray_step = max(255 // max(cfg.num_classes - 1, 1), 1)
+    for shape, idxs in groups.items():
+        h, w = shape[:2]
         n_tiles = len(plan_tiles(max(h, args.tile), max(w, args.tile),
                                  args.tile, args.overlap))
-        # an explicit --tile-batch is honored as given (rounded up to the
-        # mesh size); only the DEFAULT is capped at 64/chip
-        per = tile_batch if tile_batch else min(n_tiles, 64)
-        tile_batch = n * math.ceil(per / n)
-    logits = sliding_window_inference(
-        eng, scene,
-        tile=args.tile, overlap=args.overlap,
-        batch_size=tile_batch,
-    )
-    pred = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
-    out = args.output or (os.path.splitext(args.input)[0] + "_pred.png")
-    # spread class labels over the gray range without uint8 wraparound
-    # (255 only works for the binary case; class 2 of 3 would wrap to 254)
-    gray_step = max(255 // max(cfg.num_classes - 1, 1), 1)
-    Image.fromarray(pred * np.uint8(gray_step), "L").save(out)
-    print(f"prediction written to {out}")
+        tile_batch = _tile_batch_for(args, n_tiles * len(idxs), mesh)
+        if len(idxs) == 1:
+            logits = sliding_window_inference(
+                eng, scenes[idxs[0]], tile=args.tile, overlap=args.overlap,
+                batch_size=tile_batch)[None]
+        else:
+            logits = sliding_window_inference_batched(
+                eng, jnp.stack([scenes[i] for i in idxs]),
+                tile=args.tile, overlap=args.overlap,
+                batch_size=tile_batch)
+        preds = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
+        for pred, i in zip(preds, idxs):
+            out = _out_path(args.input[i])
+            # spread class labels over the gray range without uint8
+            # wraparound (255 only works for the binary case; class 2 of 3
+            # would wrap to 254)
+            Image.fromarray(pred * np.uint8(gray_step), "L").save(out)
+            print(f"prediction written to {out}")
     return 0
 
 
@@ -522,8 +571,16 @@ def main(argv=None) -> int:
                                 "(insarseg.engines_io) instead of packing "
                                 "from a checkpoint")
         if name == "predict":
-            p.add_argument("--input", required=True)
-            p.add_argument("--output", default=None)
+            p.add_argument("--input", required=True, nargs="+",
+                           help="grayscale scene image(s); same-sized "
+                                "scenes share one tile plan and stream "
+                                "through batched forward chunks (2.5x the "
+                                "single-scene dispatch rate, measured — "
+                                "BASELINE.md 'Round 4')")
+            p.add_argument("--output", default=None,
+                           help="output path (single input) or directory "
+                                "(multiple inputs); default: "
+                                "<input>_pred.png beside each scene")
             p.add_argument("--tile", type=int, default=512)
             p.add_argument("--overlap", type=int, default=64)
             p.add_argument("--tile-batch", type=int, default=None)

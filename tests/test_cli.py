@@ -71,6 +71,40 @@ def test_cli_predict(workdir):
     assert Image.open("pred.png").size == (48, 48)
 
 
+def test_cli_predict_multi_scene(workdir):
+    """Several --input scenes route through the batched multi-scene
+    pipeline (same-shape scenes share one tile plan); a differently-sized
+    scene lands in its own group; per-scene outputs match the single-scene
+    path bit-for-bit."""
+    os.chdir(workdir)
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    Image.fromarray((rng.random((48, 48)) * 255).astype(np.uint8), "L").save(
+        "scene_b.png")
+    Image.fromarray((rng.random((40, 56)) * 255).astype(np.uint8), "L").save(
+        "scene_c.png")
+
+    rc = cli_main(["predict", *BASE, "--input", "scene.png", "scene_b.png",
+                   "scene_c.png", "--tile", "32", "--overlap", "8",
+                   "--output", "multi_out"])
+    assert rc == 0
+    multi = {p: np.asarray(Image.open(os.path.join("multi_out",
+                                                   p + "_pred.png")))
+             for p in ("scene", "scene_b", "scene_c")}
+    assert multi["scene"].shape == (48, 48)
+    assert multi["scene_c"].shape == (40, 56)
+
+    # single-scene reference runs (same weights: fresh-init is seeded by
+    # the config, so both invocations build identical engines)
+    for p in ("scene", "scene_b", "scene_c"):
+        rc = cli_main(["predict", *BASE, "--input", p + ".png", "--tile",
+                       "32", "--overlap", "8", "--output", p + "_single.png"])
+        assert rc == 0
+        single = np.asarray(Image.open(p + "_single.png"))
+        np.testing.assert_array_equal(single, multi[p])
+
+
 @pytest.mark.parametrize("engine", ["serve", "int8"])
 @pytest.mark.slow
 def test_cli_predict_fast_engines(workdir, engine):
