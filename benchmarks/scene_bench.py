@@ -42,7 +42,10 @@ import numpy as np  # noqa: E402
 
 
 def sync(x) -> float:
-    return float(jnp.ravel(x.astype(jnp.float32))[0])
+    # index a scalar BEFORE any cast/ravel: a whole-array fetch of the
+    # narrow-lane (C=2) logits output relayouts with 64x lane padding
+    # (32 GB for a (64,1024,1024,2) f32 output — OOM, measured)
+    return float(x[(0,) * x.ndim].astype(jnp.float32))
 
 
 def main() -> None:

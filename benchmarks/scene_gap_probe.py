@@ -36,7 +36,10 @@ import numpy as np  # noqa: E402
 
 
 def sync(x) -> float:
-    return float(jnp.ravel(x.astype(jnp.float32))[0])
+    # index a scalar BEFORE any cast/ravel: a whole-array fetch of a
+    # narrow-lane (C=2) logits tensor relayouts with 64x lane padding
+    # (16 GB for (128,512,512,2) f32 — compile-time OOM, measured)
+    return float(x[(0,) * x.ndim].astype(jnp.float32))
 
 
 def measure(fn, arg, iters: int) -> float:

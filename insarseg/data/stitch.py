@@ -174,11 +174,16 @@ def sliding_window_inference_batched(
     (S, H, W, C_out)``.
 
     All scenes share one tile plan, so their tiles are flattened into a
-    single ``(S*N, tile, tile, C)`` batch — one stream of fixed-shape
-    forward calls fills the device regardless of per-scene tile counts —
-    and stitched back per scene with a vmapped overlap-add (the scan in
-    :func:`stitch_tiles` vmaps cleanly because every scene uses the same
-    static coords).
+    single ``(S*N, tile, tile, C)`` stream of fixed-shape forward chunks —
+    the device stays filled regardless of per-scene tile counts.
+
+    Memory (round 4): forward chunks interleave with the overlap-add
+    accumulation instead of materializing all ``S*N`` tiles and logits —
+    peak HBM is the ``(S, H, W, C_out)`` accumulator plus ONE in-flight
+    chunk. The collect-then-stitch formulation cost ~0.5 GB/Mpixel and
+    compile-time-OOM'd 64x1024^2 scenes at 32 GB on the 16 GB chip; this
+    one is bounded by the output itself. Results are bit-identical: each
+    scene's tiles accumulate in the same order onto disjoint regions.
     """
     s, h, w, cin = scenes.shape
     pad_h, pad_w = max(0, tile - h), max(0, tile - w)
@@ -187,9 +192,52 @@ def sliding_window_inference_batched(
     ph, pw = scenes.shape[1:3]
     coords = plan_tiles(ph, pw, tile, overlap)
     n = len(coords)
-    tiles = jax.vmap(lambda sc: extract_tiles(sc, coords, tile))(scenes)
-    flat = tiles.reshape((s * n,) + tiles.shape[2:])
-    logits = _chunked_forward(apply_fn, flat, batch_size)
-    logits = logits.reshape((s, n) + logits.shape[1:])
-    out = jax.vmap(lambda lg: stitch_tiles(lg, coords, (ph, pw), window))(logits)
+    total = s * n
+    bs = min(batch_size or total, total)
+    wnd = jnp.asarray(_window(tile, window))[:, :, None]
+    # flat tile k lives in scene k//n at coords[k%n] — static ints
+    flat = [(k // n,) + coords[k % n] for k in range(total)]
+
+    def gather(idx):
+        # compile-flat tile extraction: one dynamic_slice in a scan body
+        def g(_, src):
+            t = jax.lax.dynamic_slice(
+                scenes, (src[0], src[1], src[2], 0), (1, tile, tile, cin))
+            return None, t[0]
+
+        return jax.lax.scan(g, None, idx)[1]
+
+    acc = den = out_dtype = None
+    for i in range(0, total, bs):
+        chunk = flat[i:i + bs]
+        valid = len(chunk)
+        if valid < bs:
+            # pad the INDEX list so every forward reuses one compiled
+            # shape; the repeated tiles are masked out of the overlap-add
+            chunk = chunk + [chunk[-1]] * (bs - valid)
+        idx = jnp.asarray(chunk, jnp.int32)
+        mask = (jnp.arange(bs) < valid).astype(jnp.float32)
+        logits = apply_fn(gather(idx))
+        if acc is None:
+            cout = logits.shape[-1]
+            out_dtype = logits.dtype
+            acc = jnp.zeros((s, ph, pw, cout), jnp.float32)
+            den = jnp.zeros((s, ph, pw, 1), jnp.float32)
+
+        def step(carry, inp):
+            a, d = carry
+            lg, src, m = inp
+            si, r, c = src[0], src[1], src[2]
+            patch = (lg.astype(jnp.float32) * wnd * m)[None]
+            cur = jax.lax.dynamic_slice(
+                a, (si, r, c, 0), (1, tile, tile, cout))
+            a = jax.lax.dynamic_update_slice(a, cur + patch, (si, r, c, 0))
+            curd = jax.lax.dynamic_slice(
+                d, (si, r, c, 0), (1, tile, tile, 1))
+            d = jax.lax.dynamic_update_slice(
+                d, curd + (wnd * m)[None], (si, r, c, 0))
+            return (a, d), None
+
+        (acc, den), _ = jax.lax.scan(step, (acc, den), (logits, idx, mask))
+    out = (acc / den).astype(out_dtype)
     return out[:, :h, :w] if (pad_h or pad_w) else out
