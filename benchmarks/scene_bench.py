@@ -63,10 +63,11 @@ def main() -> None:
     engine = sys.argv[4] if len(sys.argv) > 4 else "module"
     nscenes = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     n_tiles = len(plan_tiles(scene_px, scene_px, tile, overlap))
-    # chunk size for the flattened tile stream: fill the chip (>=64 tiles
-    # at 512^2) without exceeding the serve path's ~b160 memory envelope
+    # chunk size for the flattened tile stream: b128 is the measured
+    # sweet spot for every engine (int8 613 t/s vs 508 at b72, serve 411
+    # vs 318 at b64 -- int8_batch_sweep.py / BASELINE.md "Round 4")
     batch = int(sys.argv[6]) if len(sys.argv) > 6 else \
-        min(nscenes * n_tiles, 72)
+        min(nscenes * n_tiles, 128)
 
     model = UNet(num_classes=2, use_se=True, dtype=jnp.bfloat16)
     variables = retry_transient(

@@ -371,17 +371,19 @@ def cmd_predict(args) -> int:
 
 def _tile_batch_for(args, n_total_tiles: int, mesh) -> "int | None":
     """Forward-chunk size: an explicit --tile-batch is honored (rounded up
-    to the mesh size under sharding); the DEFAULT fills the chip at 64
-    tiles/chip without exceeding the serve path's memory envelope."""
+    to the mesh size under sharding); the DEFAULT is 128 tiles/chip — the
+    measured batch sweet spot for every engine (int8 613 t/s at b128 vs
+    508 at b72, `benchmarks/int8_batch_sweep.py`; the bf16 serve graph
+    411 at b128 vs 318 at b64) and a bound on chunk memory."""
     tile_batch = args.tile_batch
     if mesh is None:
-        return tile_batch
+        return tile_batch or min(n_total_tiles, 128)
     # the sharded tile batch must be a multiple of the mesh; partial
     # chunks are padded to the batch size inside the stitch helpers
     import math
 
     n = len(jax.devices())
-    per = tile_batch if tile_batch else min(n_total_tiles, 64)
+    per = tile_batch if tile_batch else min(n_total_tiles, 128)
     return n * math.ceil(per / n)
 
 
