@@ -22,7 +22,10 @@ Two modes:
 
 Usage:
   python benchmarks/scene_bench.py [scene_px] [tile] [overlap] [engine]
-                                   [nscenes] [batch]
+                                   [nscenes] [batch] [model]
+``model`` (default 'unet') also accepts 'unet-fast' — the validated
+retrain-to-use fast cell (README "fast-variant accuracy"), which is the
+fastest scene-serving configuration.
 Prints one JSON line with scenes/sec, the actual tile rate through the
 scene pipeline (tiles_per_sec), and 512^2-equivalent tiles/sec/chip.
 """
@@ -54,7 +57,7 @@ def main() -> None:
         sliding_window_inference,
         sliding_window_inference_batched,
     )
-    from insarseg.models.unet import UNet
+    from insarseg.models.registry import build
     from insarseg.utils.retry import retry_transient
 
     scene_px = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -68,8 +71,9 @@ def main() -> None:
     # vs 318 at b64 -- int8_batch_sweep.py / BASELINE.md "Round 4")
     batch = int(sys.argv[6]) if len(sys.argv) > 6 else \
         min(nscenes * n_tiles, 128)
+    model_name = sys.argv[7] if len(sys.argv) > 7 else "unet"
 
-    model = UNet(num_classes=2, use_se=True, dtype=jnp.bfloat16)
+    model = build(model_name, "channel", dtype=jnp.bfloat16)
     variables = retry_transient(
         lambda: model.init(jax.random.key(0), jnp.zeros((1, tile, tile, 1))),
         what="model.init", retries=2)
@@ -91,7 +95,7 @@ def main() -> None:
             calib = [np.asarray(extract_tiles(
                 scenes[0].astype(jnp.float32), pos, tile))]
         predict_tile = retry_transient(
-            lambda: make_engine("unet", "channel", model, variables,
+            lambda: make_engine(model_name, "channel", model, variables,
                                 engine, calib_batches=calib,
                                 input_dtype=jnp.bfloat16
                                 if engine == "serve" else None),
@@ -125,7 +129,8 @@ def main() -> None:
     eq_tiles = (scene_px / 512) ** 2 * nscenes
     print(json.dumps({
         "metric": f"scene_{scene_px}px_tile{tile}_ov{overlap}_{engine}"
-                  f"_s{nscenes}_b{batch}",
+                  f"_s{nscenes}_b{batch}"
+                  + ("" if model_name == "unet" else f"_{model_name}"),
         "value": round(nscenes / dt, 3),
         "unit": "scenes/sec/chip",
         "tiles_per_scene": n_tiles,
