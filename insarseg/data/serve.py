@@ -98,7 +98,7 @@ def stream_scene_inference(
     tile: int = 512,
     overlap: int = 64,
     window: str = "hann",
-    batch_size: int = 16,
+    batch_size: int = 128,
     normalize: Optional[Tuple[float, float]] = (0.5, 0.5),
     writer: Optional[Writer] = None,
     n_threads: int = 4,
@@ -115,7 +115,10 @@ def stream_scene_inference(
         float input is fed as-is.
       scene_shape: (H, W) of the full scene.
       out_channels: number of logit channels produced by ``apply_fn``.
-      batch_size: tiles per device call (fixed shape; tail is zero-padded).
+      batch_size: tiles per device call (fixed shape; tail is
+        zero-padded). Default 128 — every engine's measured batch
+        sweet spot on the v5e (BASELINE.md "Round 4"; 613 t/s int8 at
+        b128 vs 508 at b72).
       writer: where finalized output rows go — an array-like assigned as
         ``writer[r0:r0+n] = rows`` (e.g. ``np.memmap``) or a callable
         ``writer(r0, rows)``. When None, the stitched (H, W, out_channels)
