@@ -35,6 +35,22 @@ def test_batched_matches_per_scene():
         np.testing.assert_allclose(batched[i], single, rtol=0, atol=1e-5)
 
 
+def test_batched_chunked_tail_masked():
+    """A batch_size that does not divide S*N exercises the masked tail
+    chunk (the index list is padded with a REPEATED tile, which must be
+    masked out of the overlap-add, not double-counted)."""
+    rng = np.random.default_rng(3)
+    scenes = jnp.asarray(np.stack([_scene(rng, 100, 100) for _ in range(3)]))
+    full = sliding_window_inference_batched(
+        apply_fn, scenes, tile=TILE, overlap=OVERLAP)
+    n_tiles = 9  # 3x3 grid at 100^2 / tile 48 / overlap 16
+    for bs in (4, 5, 27, 100):  # 27 tiles total: pad-tail, exact, oversized
+        chunked = sliding_window_inference_batched(
+            apply_fn, scenes, tile=TILE, overlap=OVERLAP, batch_size=bs)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   rtol=0, atol=1e-6), (bs, n_tiles)
+
+
 def test_batched_sub_tile_scene_pads():
     rng = np.random.default_rng(1)
     scenes = jnp.asarray(np.stack([_scene(rng, 30, 70) for _ in range(2)]))
