@@ -54,6 +54,7 @@ def run_cell(preset: str, root: str, args, workdir: str,
     cfg = get_preset(
         preset, voc_root=root, image_size=args.size, batch_size=args.batch,
         num_epochs=args.epochs, seed=seed,
+        augment=getattr(args, "augment", False),
         model_save_path=os.path.join(cell_dir, "best.ckpt"),
         metrics_save_path=os.path.join(cell_dir, "history.json"),
     )
@@ -141,6 +142,11 @@ def main() -> None:
                          "saturating at 0.99 — the DEFAULT since round 4; "
                          "--no-hard (or --easy) restores the old task")
     ap.add_argument("--easy", dest="hard", action="store_false")
+    ap.add_argument("--augment", action="store_true",
+                    help="train with on-device D4 augmentation "
+                         "(Config.augment) — use a separate --workdir from "
+                         "the no-augment run, cell dirs are keyed by "
+                         "(cell, seed) only")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)

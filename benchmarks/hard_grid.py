@@ -48,7 +48,9 @@ PUBLISHED = {
     "pspnet-channelattention": 66.54,
     "pspnet-spatialattention": 65.72,
 }
-EXTENSION_CELLS = ("unet-fast-ca",)  # no published twin; reported, unranked
+# no published twins; reported, unranked (pspnet-true is the real PPM head
+# the reference's "PSPNet" falsely claims — SURVEY.md §0)
+EXTENSION_CELLS = ("unet-fast-ca", "pspnet-true")
 
 
 def spearman(xs, ys) -> float:
@@ -128,6 +130,8 @@ def main() -> None:
               flush=True)
 
     ranked = [r for r in results if r["cell"] in PUBLISHED]
+    if not ranked:  # extension-cells-only invocation: nothing to rank
+        return
     ours = [r["miou_module"] for r in ranked]
     pub = [PUBLISHED[r["cell"]] for r in ranked]
     by_ours = sorted(ranked, key=lambda r: -r["miou_module"])
@@ -140,17 +144,21 @@ def main() -> None:
                    if fam(r["cell"]) != "unet"]
     unet_cells = {r["cell"]: r["miou_module"] for r in ranked
                   if fam(r["cell"]) == "unet"}
+    both_fams = bool(unet_mious and other_mious)
     print(json.dumps({
         "summary": "hard_grid_ordering",
+        "seed": args.seed,
         "spearman_vs_published": round(spearman(ours, pub), 4),
         "order_ours": [r["cell"] for r in by_ours],
         "order_published": sorted(PUBLISHED, key=lambda c: -PUBLISHED[c]),
-        "unet_family_above_others": bool(min(unet_mious) > max(other_mious)),
+        "unet_family_above_others": bool(
+            both_fams and min(unet_mious) > max(other_mious)),
         "ca_best_unet_cell": bool(
-            unet_cells.get("unet-channelattention", -1)
+            unet_cells
+            and unet_cells.get("unet-channelattention", -1)
             >= max(unet_cells.values())),
-        "unet_family_min": round(min(unet_mious), 5),
-        "others_max": round(max(other_mious), 5),
+        "unet_family_min": round(min(unet_mious), 5) if unet_mious else None,
+        "others_max": round(max(other_mious), 5) if other_mious else None,
     }), flush=True)
 
 

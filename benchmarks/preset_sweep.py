@@ -34,8 +34,10 @@ ALL_PRESETS = (
     "unet", "unet-channelattention", "unet-spatialattention",
     "deeplabv3", "deeplabv3-channelattention", "deeplabv3-spatialattention",
     "pspnet", "pspnet-channelattention", "pspnet-spatialattention",
-    # extension cell (no reference twin)
+    # extension cells (no reference twin); pspnet-true = the real
+    # pyramid-pooling head the reference's "PSPNet" falsely claims
     "unet-fast-ca",
+    "pspnet-true",
 )
 
 

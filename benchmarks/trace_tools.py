@@ -70,7 +70,8 @@ def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
     return rows
 
 
-def _build(graph: str, batch: int, tile: int):
+def _build(graph: str, batch: int, tile: int, bf16: bool = False,
+           model_name: str = "unet"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,10 +101,14 @@ def _build(graph: str, batch: int, tile: int):
         return make_int8_predict_fn(variables, calib, argmax=True), x
     if graph == "train":
         # the full jitted train step (fwd+bwd+Adam+sync-BN+metric counts) on
-        # the flagship U-Net-CA — ROADMAP "train-step trace" item
+        # the flagship U-Net-CA — round-4 verdict #3 train-step trace.
+        # --bf16 traces the compute_dtype=bfloat16 step (f32 master params);
+        # --model unet-fast traces the s2d fast cell's step.
+        from insarseg.models.registry import build
         from insarseg.train import engine as tengine
 
-        model_f32 = UNet(num_classes=2, use_se=True)
+        model_f32 = build(model_name, "channel",
+                          dtype=jnp.bfloat16 if bf16 else None)
         state = tengine.create_state(model_f32, jax.random.key(0),
                                      x[:batch])
         step = tengine.make_train_step(model_f32, num_classes=2)
@@ -134,13 +139,19 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tile", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--bf16", action="store_true",
+                    help="train graph: compute_dtype=bfloat16")
+    ap.add_argument("--model", default="unet",
+                    choices=["unet", "unet-fast"],
+                    help="train graph: which flagship cell to step")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/insarseg_jax_cache")
-    predict, x = _build(args.graph, args.batch, args.tile)
+    predict, x = _build(args.graph, args.batch, args.tile, bf16=args.bf16,
+                        model_name=args.model)
 
     def sync(o):
         return float(jnp.ravel(o.astype(jnp.float32))[0])

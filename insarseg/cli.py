@@ -75,6 +75,7 @@ def cmd_train(args) -> int:
     val_ds = ds_cls(cfg.voc_root, cfg.image_size, "val", **kw)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed, ignore_index=cfg.ignore_index,
+                               drop_last=cfg.drop_last,
                                num_workers=args.num_workers)
     val_loader = BatchLoader(val_ds, cfg.batch_size,
                              ignore_index=cfg.ignore_index,
@@ -227,11 +228,25 @@ def cmd_eval(args) -> int:
                 f"({cfg.model}, {cfg.attention}); use --engine module")
         calib = None
         if engine_name == "int8":
-            # calibrate on the first N validation batches (real data) —
-            # single-batch absmax is fragile to outlier activations
+            # calibrate on the first N batches (real data) — single-batch
+            # absmax is fragile to outlier activations. Default source is
+            # the scored split (calibration-QA bound); --calib-split train
+            # keeps calibration disjoint from scoring (deployment number).
             from insarseg.engines import collect_calib_batches
 
-            calib = collect_calib_batches(loader, args.calib_batches,
+            calib_split = getattr(args, "calib_split", None)
+            calib_loader = loader
+            if calib_split and calib_split != args.split:
+                calib_ds = ds_cls(
+                    cfg.voc_root, cfg.image_size, calib_split,
+                    mask_contract=cfg.mask_contract,
+                    normalize_mean=cfg.normalize_mean,
+                    normalize_std=cfg.normalize_std,
+                    ignore_index=cfg.ignore_index, raw_u8=args.raw_u8)
+                calib_loader = BatchLoader(
+                    calib_ds, cfg.batch_size, ignore_index=cfg.ignore_index,
+                    num_workers=args.num_workers)
+            calib = collect_calib_batches(calib_loader, args.calib_batches,
                                           cfg.normalize_mean,
                                           cfg.normalize_std)
         mesh = _eval_mesh(cfg)
@@ -404,13 +419,27 @@ def _predict_scenes(args, cfg, scenes, eng, mesh) -> int:
     if args.output and len(args.input) > 1:
         os.makedirs(args.output, exist_ok=True)
 
+    # Precompute output names: joining only the basename into --output
+    # would silently overwrite when two --input scenes from different
+    # directories share a filename (round-4 advisor) — uniquify later
+    # duplicates with a numeric suffix.
+    out_names: "dict[str, str]" = {}
+    taken: "set[str]" = set()
+    for p in args.input:
+        base = os.path.splitext(os.path.basename(p))[0] + "_pred.png"
+        name, k = base, 1
+        while name in taken:
+            k += 1
+            name = base[: -len(".png")] + f"_{k}.png"
+        taken.add(name)
+        out_names[p] = name
+
     def _out_path(path: str) -> str:
-        stem = os.path.splitext(path)[0] + "_pred.png"
         if not args.output:
-            return stem
+            return os.path.splitext(path)[0] + "_pred.png"
         if len(args.input) == 1:
             return args.output
-        return os.path.join(args.output, os.path.basename(stem))
+        return os.path.join(args.output, out_names[path])
 
     # group inputs by scene shape: one tile plan (and one compiled stitch
     # program) per distinct shape, batched within each group
@@ -549,6 +578,14 @@ def main(argv=None) -> int:
                                 "module graph — int8 self-calibrates on "
                                 "the first --calib-batches val batches "
                                 "(calibration QA)")
+            p.add_argument("--calib-split", default=None,
+                           choices=["train", "val"],
+                           help="int8 engine: dataset split to draw "
+                                "calibration batches from (default: the "
+                                "--split being scored, a calibration-QA "
+                                "bound; pass 'train' for an honest "
+                                "deployment number — calibration never "
+                                "sees the scored split)")
         if name in ("eval", "predict"):
             # defaults are None so the artifact path can tell an explicit
             # flag apart (they resolve to 4/'absmax' in _resolve_calib_flags)

@@ -48,6 +48,13 @@ class Config:
     num_epochs: int = 25
     learning_rate: float = 1e-4
     seed: int = 0
+    # Drop the final partial train batch (torch DataLoader(drop_last=True)).
+    # Default False pads the tail batch to the static shape; padded all-zero
+    # images enter BN's train-batch statistics — the one known training-
+    # parity deviation vs the reference, which trains on a genuinely smaller
+    # final batch (/root/reference/Unet.py:341-349). drop_last=True removes
+    # the deviation at the cost of skipping the tail samples.
+    drop_last: bool = False
     # Rematerialize DoubleConv activations in the backward pass (UNet
     # families only; flax nn.remat per block). Identical grads; measured
     # NOT to extend the 512^2 batch envelope on v5e (XLA's automatic
@@ -134,7 +141,19 @@ PRESETS: Dict[str, Config] = {
                        image_size=128, batch_size=8, num_epochs=25,
                        model_save_path="trained_models/unet_fast_ca_best.ckpt",
                        metrics_save_path="training_metrics/unet_fast_ca.json"),
+    # Extension (no reference twin): TRUE PSPNet — the pyramid-pooling head
+    # the reference's "PSPNet" scripts claim but never implement (they wrap
+    # torchvision fcn_resnet50, /root/reference/PSPNet.py:51; SURVEY.md §0).
+    # Same protocol as the 'pspnet' (=FCN) preset so the two heads compare
+    # directly in the sweeps.
+    "pspnet-true": _p(model="pspnet", attention="none", image_size=64,
+                      batch_size=8, num_epochs=25,
+                      model_save_path="trained_models/pspnet_true_64_best.ckpt",
+                      metrics_save_path="training_metrics/pspnet_true_64.json"),
 }
+
+# Presets with no reference twin (extensions beyond the 9-script grid).
+EXTENSION_PRESETS: Tuple[str, ...] = ("unet-fast-ca", "pspnet-true")
 
 
 def get_preset(name: str, **overrides) -> Config:

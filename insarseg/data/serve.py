@@ -102,6 +102,7 @@ def stream_scene_inference(
     normalize: Optional[Tuple[float, float]] = (0.5, 0.5),
     writer: Optional[Writer] = None,
     n_threads: int = 4,
+    channel_major_fetch: Optional[bool] = None,
 ) -> Optional[np.ndarray]:
     """Stream a (possibly >RAM) scene through tiled inference.
 
@@ -123,11 +124,26 @@ def stream_scene_inference(
         ``writer[r0:r0+n] = rows`` (e.g. ``np.memmap``) or a callable
         ``writer(r0, rows)``. When None, the stitched (H, W, out_channels)
         array is assembled in RAM and returned.
+      channel_major_fetch: transpose logits to (B, C, tile, tile) ON DEVICE
+        before the host fetch. A device->host fetch of a narrow-lane
+        (..., 2) tensor relayouts with 64x lane padding on the TPU (16 GB
+        for a (128,512,512,2) f32 chunk — measured, CLAUDE.md round 4);
+        channel-major puts ``tile`` on the lane dim so the fetch streams at
+        the real size. Default (None) auto-enables for out_channels < 8.
 
     Returns the stitched scene when ``writer`` is None, else None.
     """
     h, w = scene_shape
     assert h >= tile and w >= tile, (h, w, tile)
+    if channel_major_fetch is None:
+        channel_major_fetch = out_channels < 8
+    if channel_major_fetch:
+        import jax
+        import jax.numpy as jnp
+
+        inner = apply_fn
+        # jit-of-jit inlines the engine: one program, one dispatch per chunk
+        apply_fn = jax.jit(lambda x: jnp.transpose(inner(x), (0, 3, 1, 2)))
     stride = tile - overlap
     row_starts = _starts(h, tile, stride)
     col_starts = _starts(w, tile, stride)
@@ -159,6 +175,8 @@ def stream_scene_inference(
         j = 0
         for dev_out, valid in outs:
             arr = np.asarray(dev_out).astype(np.float32, copy=False)
+            if channel_major_fetch:
+                arr = np.moveaxis(arr, 1, -1)  # view; add() re-contigs
             for k in range(valid):
                 stitcher.add(np.ascontiguousarray(arr[k]), col_starts[j])
                 j += 1

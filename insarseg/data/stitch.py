@@ -193,7 +193,11 @@ def sliding_window_inference_batched(
     coords = plan_tiles(ph, pw, tile, overlap)
     n = len(coords)
     total = s * n
-    bs = min(batch_size or total, total)
+    # Do NOT clamp bs to total: callers round batch_size up to a mesh
+    # multiple (cli._tile_batch_for) so the jitted engine's in_shardings
+    # over 'data' stay divisible; the index-padded tail chunk below
+    # already handles bs > total correctly (advisor finding, round 4).
+    bs = batch_size or total
     wnd = jnp.asarray(_window(tile, window))[:, :, None]
     # flat tile k lives in scene k//n at coords[k%n] — static ints
     flat = [(k // n,) + coords[k % n] for k in range(total)]

@@ -34,13 +34,17 @@ TRANSIENT_MARKERS: tuple[str, ...] = (
 )
 
 
-def is_transient(exc: BaseException) -> bool:
-    """True if the exception chain carries an axon-transient marker."""
+def is_transient(
+    exc: BaseException, markers: Sequence[str] = TRANSIENT_MARKERS
+) -> bool:
+    """True if the exception chain carries one of ``markers`` (defaults to
+    the axon-transient set). The chain (``__cause__``/``__context__``) is
+    walked so wrapped tunnel errors still match."""
     seen = set()
     while exc is not None and id(exc) not in seen:
         seen.add(id(exc))
         msg = f"{type(exc).__name__}: {exc}"
-        if any(m in msg for m in TRANSIENT_MARKERS):
+        if any(m in msg for m in markers):
             return True
         exc = exc.__cause__ or exc.__context__
     return False
@@ -76,11 +80,13 @@ def retry_transient(
     """Run ``fn()``, retrying up to ``retries`` times on transient errors.
 
     Only exceptions whose chain matches ``markers`` are retried; anything
-    else propagates immediately. ``reset_backend=True`` additionally clears
-    jax's cached backends between attempts (required when the guarded call
-    is the backend init itself). ``_sleep`` is injectable for tests
-    (defaults to ``time.sleep``, resolved at call time so monkeypatching
-    works).
+    else propagates immediately — a custom ``markers`` NARROWS the retry set
+    (the default set is not OR'd back in), and is matched against the whole
+    ``__cause__``/``__context__`` chain, not just the top-level exception.
+    ``reset_backend=True`` additionally clears jax's cached backends between
+    attempts (required when the guarded call is the backend init itself).
+    ``_sleep`` is injectable for tests (defaults to ``time.sleep``, resolved
+    at call time so monkeypatching works).
     """
     if _sleep is None:
         _sleep = time.sleep
@@ -90,7 +96,7 @@ def retry_transient(
             return fn()
         except Exception as e:
             seen = f"{type(e).__name__}: {e}"
-            transient = any(m in seen for m in markers) or is_transient(e)
+            transient = is_transient(e, markers)
             if attempt >= retries or not transient:
                 raise
             print(

@@ -61,6 +61,24 @@ def test_cli_eval_engines(workdir, engine, capsys):
     assert "val_miou" in capsys.readouterr().out
 
 
+def test_cli_eval_int8_calib_split_train(workdir, capsys):
+    """--calib-split train (round-4 verdict #6): calibration batches come
+    from the train split while val is scored — the reported int8 mIoU is a
+    deployment number, not self-referential. Both runs must score."""
+    os.chdir(workdir)
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine", "int8", "--calib-split", "train",
+                   "--calib-batches", "1"])
+    assert rc == 0
+    out_train = capsys.readouterr().out
+    assert "val_miou" in out_train
+    rc = cli_main(["eval", *BASE, "--voc-root", "voc", "--split", "val",
+                   "--engine", "int8", "--calib-split", "val",
+                   "--calib-batches", "1"])
+    assert rc == 0
+    assert "val_miou" in capsys.readouterr().out
+
+
 def test_cli_predict(workdir):
     os.chdir(workdir)
     rc = cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "32",
@@ -103,6 +121,32 @@ def test_cli_predict_multi_scene(workdir):
         assert rc == 0
         single = np.asarray(Image.open(p + "_single.png"))
         np.testing.assert_array_equal(single, multi[p])
+
+
+def test_cli_predict_basename_collision_uniquified(workdir):
+    """Regression (round-4 advisor, low): two --input scenes with the same
+    filename from different directories must not overwrite each other in
+    --output; the second gets a numeric suffix."""
+    os.chdir(workdir)
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    os.makedirs("dir_a", exist_ok=True)
+    os.makedirs("dir_b", exist_ok=True)
+    img_a = (rng.random((48, 48)) * 255).astype(np.uint8)
+    img_b = (rng.random((48, 48)) * 255).astype(np.uint8)
+    Image.fromarray(img_a, "L").save("dir_a/dup.png")
+    Image.fromarray(img_b, "L").save("dir_b/dup.png")
+
+    rc = cli_main(["predict", *BASE, "--input", "dir_a/dup.png",
+                   "dir_b/dup.png", "--tile", "32", "--overlap", "8",
+                   "--output", "dup_out"])
+    assert rc == 0
+    a = np.asarray(Image.open("dup_out/dup_pred.png"))
+    b = np.asarray(Image.open("dup_out/dup_pred_2.png"))
+    assert a.shape == b.shape == (48, 48)
+    # distinct inputs -> the two files are genuinely different predictions
+    assert not np.array_equal(img_a, img_b)
 
 
 @pytest.mark.parametrize("engine", ["serve", "int8"])

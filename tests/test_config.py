@@ -4,14 +4,18 @@ import dataclasses
 
 import pytest
 
-from insarseg.config import PRESETS, get_preset
+from insarseg.config import EXTENSION_PRESETS, PRESETS, get_preset
 
 
 def test_nine_presets_exist():
-    # 9 reference-script presets + the unet-fast-ca extension
-    reference = [k for k in PRESETS if not k.startswith("unet-fast")]
+    # 9 reference-script presets + the declared extensions
+    reference = [k for k in PRESETS if k not in EXTENSION_PRESETS]
     assert len(reference) == 9
-    assert "unet-fast-ca" in PRESETS
+    for name in EXTENSION_PRESETS:
+        assert name in PRESETS, name
+    assert "unet-fast-ca" in EXTENSION_PRESETS
+    # the true-PPM head the reference's "PSPNet" falsely claims (SURVEY §0)
+    assert get_preset("pspnet-true").model == "pspnet"
 
 
 def test_preset_grid_divergences():

@@ -133,6 +133,55 @@ def test_global_metrics_mode(setup):
             assert 0.0 <= r[k] <= 1.0, (k, r)
 
 
+def test_drop_last_removes_padded_tail_bn_deviation(tmp_path):
+    """Config.drop_last (round-4 verdict #5): with a dataset whose size is
+    not a batch multiple, the padded tail batch feeds all-zero images into
+    BatchNorm's training statistics — the one known training-parity
+    deviation vs the reference, which trains on a genuinely smaller final
+    batch (/root/reference/Unet.py:341-349). drop_last=True must make the
+    epoch's running stats EXACTLY those of the full batches alone."""
+    root = tmp_path / "voc6"
+    make_synthetic_voc(str(root), n_train=6, n_val=2, size=16)
+    cfg = get_preset("unet", voc_root=str(root), image_size=16, batch_size=4,
+                     num_epochs=1, drop_last=True)
+    assert cfg.drop_last is True  # Config field exists and presets accept it
+    ds = VOCSegDataset(cfg.voc_root, cfg.image_size, "train")
+    model = UNet(num_classes=cfg.num_classes, base_features=4)
+
+    def run_epoch(batches):
+        first = batches[0]
+        state = engine.create_state(
+            model, jax.random.key(0), jnp.asarray(first["image"]),
+            cfg.learning_rate)
+        step = engine.make_train_step(model, cfg.num_classes,
+                                      cfg.ignore_index)
+        for b in batches:
+            state, _ = step(state, jnp.asarray(b["image"]),
+                            jnp.asarray(b["mask"]), jax.random.key(1))
+        return state
+
+    pad_batches = list(BatchLoader(ds, 4, shuffle=True, seed=0))
+    drop_batches = list(BatchLoader(ds, 4, shuffle=True, seed=0,
+                                    drop_last=True))
+    assert len(pad_batches) == 2 and len(drop_batches) == 1
+    # same shuffle order: the dropped epoch IS the padded epoch minus tail
+    np.testing.assert_array_equal(pad_batches[0]["image"],
+                                  drop_batches[0]["image"])
+
+    s_drop = run_epoch(drop_batches)
+    s_full_only = run_epoch(pad_batches[:1])
+    s_pad = run_epoch(pad_batches)
+    for a, b in zip(jax.tree.leaves(s_drop.batch_stats),
+                    jax.tree.leaves(s_full_only.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the padded tail genuinely perturbs the stats (the deviation that
+    # drop_last removes is real, not vacuous)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(s_pad.batch_stats),
+                             jax.tree.leaves(s_drop.batch_stats))]
+    assert max(diffs) > 0
+
+
 def test_bf16_training_smoke(setup):
     """compute_dtype=bfloat16 training: loss decreases, params stay f32."""
     cfg, _, train_loader, _ = setup

@@ -67,6 +67,39 @@ def test_is_transient_walks_cause_chain():
     assert not is_transient(ValueError("plain error"))
 
 
+def test_custom_markers_narrow_and_walk_chain():
+    """Regression (round-4 advisor, low): a caller's ``markers`` must be the
+    ONLY retry set (defaults not OR'd back in) and must match through the
+    exception chain, not just the top-level message."""
+    calls = []
+
+    def fn_default_marker():
+        calls.append(1)
+        raise RuntimeError("UNAVAILABLE: tunnel dropped")
+
+    # narrowed markers: the default-transient UNAVAILABLE must NOT retry
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        retry_transient(fn_default_marker, retries=3,
+                        markers=("MY_FLAKY",), _sleep=lambda s: None)
+    assert len(calls) == 1
+
+    # custom marker buried in the __cause__ chain must retry
+    calls2 = []
+
+    def fn_chained():
+        calls2.append(1)
+        if len(calls2) < 2:
+            try:
+                raise OSError("MY_FLAKY disk hiccup")
+            except OSError as inner:
+                raise RuntimeError("wrapper") from inner
+        return "ok"
+
+    out = retry_transient(fn_chained, retries=3, markers=("MY_FLAKY",),
+                          _sleep=lambda s: None)
+    assert out == "ok" and len(calls2) == 2
+
+
 def test_bench_sweep_retries_transient_and_breaks_on_oom(monkeypatch):
     """bench._sweep: a transient drop is retried in place; a deterministic
     failure (the OOM pattern at the largest batch) stops the sweep."""
