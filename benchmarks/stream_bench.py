@@ -60,8 +60,18 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--n-threads", type=int, default=4)
     ap.add_argument("--channel-major", dest="cmf",
-                    action=argparse.BooleanOptionalAction, default=True)
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="host path only: transpose logits on device "
+                         "before the fetch; --no-channel-major also "
+                         "selects the host path (the penalty being probed "
+                         "only exists there)")
+    ap.add_argument("--device-stitch", dest="dstitch",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="stitch on device (round-5 path); --no-device-"
+                         "stitch measures the host rolling stitcher")
     args = ap.parse_args()
+    if not args.cmf:
+        args.dstitch = False
 
     px, tile, overlap = args.scene_px, args.tile, args.overlap
     stride = tile - overlap
@@ -107,7 +117,7 @@ def main() -> None:
 
     kw = dict(tile=tile, overlap=overlap, batch_size=args.batch,
               normalize=(0.5, 0.5), writer=out, n_threads=args.n_threads,
-              channel_major_fetch=args.cmf)
+              channel_major_fetch=args.cmf, device_stitch=args.dstitch)
 
     rss0 = rss_mb()
     t0 = time.perf_counter()
@@ -130,6 +140,7 @@ def main() -> None:
         "metric": f"stream_{px}px_tile{tile}_ov{overlap}_{args.engine}"
                   f"_b{args.batch}"
                   + ("" if args.model == "unet" else f"_{args.model}")
+                  + ("" if args.dstitch else "_host")
                   + ("" if args.cmf else "_nocmf"),
         "value": round(n_tiles / dt, 1),
         "unit": "tiles/sec/chip",

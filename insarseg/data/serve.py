@@ -103,6 +103,7 @@ def stream_scene_inference(
     writer: Optional[Writer] = None,
     n_threads: int = 4,
     channel_major_fetch: Optional[bool] = None,
+    device_stitch: Optional[bool] = None,
 ) -> Optional[np.ndarray]:
     """Stream a (possibly >RAM) scene through tiled inference.
 
@@ -130,11 +131,28 @@ def stream_scene_inference(
         for a (128,512,512,2) f32 chunk — measured, CLAUDE.md round 4);
         channel-major puts ``tile`` on the lane dim so the fetch streams at
         the real size. Default (None) auto-enables for out_channels < 8.
+        Host-stitch path only (the device path is always channel-major).
+      device_stitch: run the window multiply, column overlap-add, and
+        denominator divide ON DEVICE (default: True). The single-core host
+        measures ~61 tiles/s through ``stitch_accumulate`` — an ~8x
+        bottleneck vs the 613 t/s int8 engine — and a 128-tile device call
+        holds only W/stride (~19 at 8192 px) real column tiles per row
+        band, so the host path also pads ~85% of every forward batch. The
+        device path fills calls with G = batch_size//n_cols row bands,
+        threads the row-overlap carry through an in-program ``lax.scan``,
+        and hands the host finalized output rows: host work is pure IO.
+        ``False`` selects the original host rolling-stitcher path.
 
     Returns the stitched scene when ``writer`` is None, else None.
     """
     h, w = scene_shape
     assert h >= tile and w >= tile, (h, w, tile)
+    if device_stitch is None:
+        device_stitch = True
+    if device_stitch:
+        return _stream_device_stitch(
+            apply_fn, reader, scene_shape, out_channels, tile, overlap,
+            window, batch_size, normalize, writer)
     if channel_major_fetch is None:
         channel_major_fetch = out_channels < 8
     if channel_major_fetch:
@@ -193,3 +211,209 @@ def stream_scene_inference(
 
 def _np_window(tile: int, kind: str) -> np.ndarray:
     return np.asarray(_window(tile, kind), np.float32)
+
+
+def _stream_device_stitch(
+    apply_fn: Callable,
+    reader: Reader,
+    scene_shape: Tuple[int, int],
+    out_channels: int,
+    tile: int,
+    overlap: int,
+    window: str,
+    batch_size: int,
+    normalize: Optional[Tuple[float, float]],
+    writer: Optional[Writer],
+) -> Optional[np.ndarray]:
+    """Streaming scene inference with the stitch on device (TPU-first).
+
+    Why: the single-core host runs ``stitch_accumulate`` at ~61 tiles/s —
+    ~8x under the 613 t/s int8 engine — and one row band holds only
+    ``W/stride`` column tiles (19 at 8192 px), so a 128-tile call in the
+    host path pads ~85% of every forward batch. Here one jitted program
+    (the engine inlined — one dispatch, one compiled shape) takes G =
+    batch_size//n_cols row bands of tiles plus the row-overlap carry,
+    normalizes on device (uint8 upload: 4x less host->device traffic),
+    runs the forward, window-weights and column-overlap-adds each band at
+    static offsets, divides the finalized rows by precomputed denominator
+    constants, and emits channel-major (C, stride, W) rows — a narrow-lane
+    (..., 2) fetch would relayout with 64x lane padding (CLAUDE.md round
+    4). The host only stacks input tiles and writes output rows.
+
+    Scene-edge cases are fixed up on host, once per scene, with O(tile*W)
+    numpy (no second compiled program):
+    - first band: its head rows were divided by the interior-overlap
+      denominator; multiply back and re-divide by the first-band one;
+    - clamped last band (``tile_starts`` flushes it to the border, so its
+      stride to the previous band is shorter): run it through the same
+      program with a zero carry, multiply the divides back out to recover
+      the raw accumulator, and blend with the held-back previous band.
+
+    Numerics: identical accumulation arithmetic to ``stitch_tiles``
+    (insarseg/data/stitch.py) up to f32 summation ORDER — per-band partial
+    sums are combined as blocks rather than tile-serially, an ulp-level
+    difference (tested ≤1e-5 against ``sliding_window_inference``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = scene_shape
+    C = out_channels
+    stride = tile - overlap
+    if 2 * overlap > tile:
+        # bands would overlap beyond one neighbor; rare config — take the
+        # general host path instead
+        return stream_scene_inference(
+            apply_fn, reader, scene_shape, out_channels, tile, overlap,
+            window, batch_size, normalize, writer, device_stitch=False)
+    row_starts = _starts(h, tile, stride)
+    col_starts = _starts(w, tile, stride)
+    n_cols = len(col_starts)
+    win = _np_window(tile, window)
+
+    # per-band column-stitch denominator (t, W) and its row regions
+    band_den = np.zeros((tile, w), np.float32)
+    for c0 in col_starts:
+        band_den[:, c0 : c0 + tile] += win
+    den_head = band_den[:overlap]                      # scene-first band
+    den_olap = band_den[stride:] + band_den[:overlap]  # interior head rows
+    den_solo = band_den[overlap:stride]
+    den_tail = band_den[stride:]                       # scene-last rows
+
+    ragged = None
+    n_uni = len(row_starts)
+    if n_uni > 1 and row_starts[-1] - row_starts[-2] != stride:
+        ragged = row_starts[-1]
+        n_uni -= 1
+    uni_rows = row_starts[:n_uni]
+
+    G = min(max(1, (batch_size or n_cols) // n_cols), n_uni)
+    B = G * n_cols
+
+    probe = _read_band(reader, 0, 1)
+    is_u8 = probe.dtype == np.uint8
+    do_norm = is_u8 and normalize is not None
+    mean, std = normalize if normalize is not None else (0.0, 1.0)
+    in_dtype = np.uint8 if is_u8 else np.float32
+
+    wnd3 = jnp.asarray(win)[:, :, None]
+    d_olap = jnp.asarray(den_olap)[:, :, None]
+    d_solo = jnp.asarray(den_solo)[:, :, None]
+
+    def band_program(tiles, carry_cm):
+        # the carry crosses the jit boundary channel-major: a (.., C=2)
+        # narrow-lane layout can pay a 64x padded relayout there (CLAUDE.md)
+        carry = jnp.transpose(carry_cm, (1, 2, 0))
+        x = tiles.astype(jnp.float32)
+        if do_norm:
+            x = (x / 255.0 - mean) / std
+        lg = apply_fn(x).astype(jnp.float32).reshape(
+            G, n_cols, tile, tile, C)
+
+        def step(cry, band):
+            acc = jnp.zeros((tile, w, C), jnp.float32)
+            for k, c0 in enumerate(col_starts):
+                cur = jax.lax.dynamic_slice(
+                    acc, (0, c0, 0), (tile, tile, C))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + band[k] * wnd3, (0, c0, 0))
+            head = (cry + acc[:overlap]) / d_olap
+            solo = acc[overlap:stride] / d_solo
+            emit = jnp.concatenate([head, solo], axis=0)
+            tail = acc[stride:]
+            return tail, (jnp.transpose(emit, (2, 0, 1)),
+                          jnp.transpose(tail, (2, 0, 1)))
+
+        cry_out, (emits, tails) = jax.lax.scan(step, carry, lg)
+        return emits, tails, jnp.transpose(cry_out, (2, 0, 1))
+
+    prog = jax.jit(band_program)
+
+    out = None if writer is not None else np.empty((h, w, C), np.float32)
+
+    def emit_rows(r0: int, rows: np.ndarray) -> None:
+        if writer is None:
+            out[r0 : r0 + rows.shape[0]] = rows
+        elif callable(writer):
+            writer(r0, rows)
+        else:
+            writer[r0 : r0 + rows.shape[0]] = rows
+
+    def make_call(rows) -> np.ndarray:
+        tiles = []
+        for r0 in rows:
+            band = _read_band(reader, r0, tile)
+            tiles.extend(band[:, c0 : c0 + tile] for c0 in col_starts)
+        stackd = np.stack(tiles).astype(in_dtype, copy=False)
+        if len(tiles) < B:  # pad bands (final call only); emits discarded
+            stackd = np.concatenate(
+                [stackd, np.zeros((B - len(tiles),) + stackd.shape[1:],
+                                  in_dtype)])
+        return stackd
+
+    hold = None  # (r_prev, emit, tail) of the last uniform band, if ragged
+
+    def drain(rows, emits_dev, tails_dev, last_call: bool) -> None:
+        nonlocal hold
+        V = len(rows)
+        em = np.asarray(emits_dev[:V])  # one fetch: (V, C, stride, W)
+        for g, r0 in enumerate(rows):
+            e = np.moveaxis(em[g], 0, -1)  # (stride, W, C) view
+            if r0 == 0:
+                # first band: head rows carry no previous-band tail —
+                # recover the raw accumulator and divide by the right den
+                e = np.ascontiguousarray(e)
+                e[:overlap] = (e[:overlap] * den_olap[:, :, None]
+                               / den_head[:, :, None])
+            if last_call and g == V - 1:
+                tail = np.moveaxis(np.asarray(tails_dev[V - 1]), 0, -1)
+                if ragged is not None:
+                    hold = (r0, np.ascontiguousarray(e),
+                            np.ascontiguousarray(tail))
+                    return
+                emit_rows(r0, e)
+                emit_rows(r0 + stride, tail / den_tail[:, :, None])
+                return
+            emit_rows(r0, e)
+
+    calls = [uni_rows[i : i + G] for i in range(0, n_uni, G)]
+    carry = jnp.zeros((C, overlap, w), jnp.float32)
+    pending = None
+    for ci, rows in enumerate(calls):
+        tiles = make_call(rows)
+        emits_dev, tails_dev, carry = prog(tiles, carry)
+        if pending is not None:
+            drain(*pending)  # host IO overlaps the queued device forward
+        pending = (rows, emits_dev, tails_dev, ci == len(calls) - 1)
+
+    if ragged is not None:
+        # dispatch the clamped last band (zero carry: we recover raw acc)
+        r_tiles = make_call([ragged])
+        r_emits, r_tails, _ = prog(
+            r_tiles, jnp.zeros((C, overlap, w), jnp.float32))
+        drain(*pending)
+        e_r = np.moveaxis(np.asarray(r_emits[0]), 0, -1)
+        raw = np.empty((tile, w, C), np.float32)
+        raw[:overlap] = e_r[:overlap] * den_olap[:, :, None]
+        raw[overlap:stride] = e_r[overlap:stride] * den_solo[:, :, None]
+        raw[stride:] = np.moveaxis(np.asarray(r_tails[0]), 0, -1)
+
+        r_prev, prev_emit, prev_tail = hold
+        s = ragged - r_prev  # in (0, stride)
+        prev_head_den = den_head if n_uni == 1 else den_olap
+        prev_emit_den = np.concatenate([prev_head_den, den_solo])
+        prev_raw = np.concatenate(
+            [prev_emit[s:] * prev_emit_den[s:, :, None], prev_tail])
+        prev_prof = np.concatenate([prev_head_den, den_solo, den_tail])
+
+        L = tile - s  # previous-band rows the clamped band re-covers
+        total_acc = raw
+        total_acc[:L] += prev_raw
+        total_den = band_den.copy()
+        total_den[:L] += prev_prof[s:]
+
+        emit_rows(r_prev, prev_emit[:s])
+        emit_rows(ragged, total_acc / total_den[:, :, None])
+    else:
+        drain(*pending)
+    return out

@@ -143,4 +143,122 @@ def test_stream_callable_reader_band_windows():
     want = np.asarray(sliding_window_inference(
         apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
-    assert all(n == TILE for _, n in seen) and len(seen) >= 3
+    # full band windows only, plus the device path's 1-row dtype probe
+    bands = [rn for rn in seen if rn != (0, 1)]
+    assert all(n == TILE for _, n in bands) and len(bands) >= 3
+
+
+# --- device-stitch streaming path (round 5) -------------------------------
+# The device path batches G row bands per call, stitches columns and
+# divides on device, and host-fixes the scene edges (first band head, the
+# clamped last band). The H values below hit every edge regime for
+# tile 48 / overlap 16 / stride 32:
+#   112 -> uniform rows (tail-finalize path)
+#    96 -> clamped last band, shift s == overlap
+#   114 -> clamped last band, s = 2 < overlap
+#   104 -> clamped last band, s = 24 > overlap
+#    48 -> single band (head fixup + tail finalize in one)
+#   146 -> clamped last band after >1 uniform bands, s = 2
+
+
+@pytest.mark.parametrize("h", [112, 96, 114, 104, 48, 146])
+@pytest.mark.parametrize("bs", [2, 100])  # G == 1 and G > n_rows (pad bands)
+def test_stream_device_stitch_matches_in_ram(h, bs):
+    w = 130
+    rng = np.random.default_rng(7)
+    scene = _scene(rng, h, w)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=bs, normalize=None, device_stitch=True)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_device_stitch_multiband_calls():
+    """G > 1: several row bands per device call, plus a partial final call
+    whose pad bands must not leak into the carry chain."""
+    h, w = 240, 96  # rows [0,32,...,192]: 7 uniform bands, G=3 -> calls 3,3,1
+    rng = np.random.default_rng(8)
+    scene = _scene(rng, h, w)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=3 * 3, normalize=None, device_stitch=True)  # n_cols=3
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_device_stitch_u8_normalizes_on_device():
+    h, w = 114, 96
+    rng = np.random.default_rng(9)
+    u8 = rng.integers(0, 256, (h, w), np.uint8)
+    normed = ((u8.astype(np.float32) / 255.0) - 0.5) / 0.5
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(normed[..., None]), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, u8, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=8, normalize=(0.5, 0.5), device_stitch=True)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_device_stitch_memmap_writer(tmp_path):
+    h, w = 146, 112
+    rng = np.random.default_rng(10)
+    scene = _scene(rng, h, w)
+    dst = np.memmap(tmp_path / "out.f32", np.float32, "w+", shape=(h, w, 2))
+    ret = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=6, normalize=None, writer=dst, device_stitch=True)
+    assert ret is None
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    np.testing.assert_allclose(np.asarray(dst), want, rtol=0, atol=1e-5)
+
+
+def test_stream_device_stitch_callable_writer_ordered():
+    """Callable writers receive rows strictly in ascending order."""
+    h, w = 146, 96
+    rng = np.random.default_rng(11)
+    scene = _scene(rng, h, w)
+    got = np.zeros((h, w, 2), np.float32)
+    seen_r0 = []
+
+    def writer(r0, rows):
+        seen_r0.append(r0)
+        got[r0 : r0 + rows.shape[0]] = rows
+
+    stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=4, normalize=None, writer=writer, device_stitch=True)
+    assert seen_r0 == sorted(seen_r0)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_host_path_still_available():
+    """device_stitch=False keeps the original host rolling-stitcher."""
+    h, w = 96, 96
+    rng = np.random.default_rng(12)
+    scene = _scene(rng, h, w)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP))
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=2, normalize=None, device_stitch=False)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_stream_device_stitch_big_overlap_falls_back():
+    """overlap > tile/2 (bands overlap beyond one neighbor) routes to the
+    host path transparently."""
+    h, w = 96, 96
+    rng = np.random.default_rng(13)
+    scene = _scene(rng, h, w)
+    want = np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=48, overlap=30))
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=48, overlap=30,
+        batch_size=4, normalize=None, device_stitch=True)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
