@@ -314,6 +314,8 @@ def cmd_predict(args) -> int:
 
     cfg = _build_cfg(args)
     explicit_calib = _resolve_calib_flags(args)
+    if getattr(args, "stream", False):
+        return _predict_stream(args, cfg, explicit_calib)
     model = build_model(cfg)
     scenes = []
     for path in args.input:
@@ -402,6 +404,142 @@ def _tile_batch_for(args, n_total_tiles: int, mesh) -> "int | None":
     return n * math.ceil(per / n)
 
 
+def _output_paths(args) -> "dict[str, str]":
+    """Output path per --input scene. Joining only the basename into
+    --output would silently overwrite when two --input scenes from
+    different directories share a filename (round-4 advisor) — later
+    duplicates get a numeric suffix."""
+    out_names: "dict[str, str]" = {}
+    taken: "set[str]" = set()
+    for p in args.input:
+        base = os.path.splitext(os.path.basename(p))[0] + "_pred.png"
+        name, k = base, 1
+        while name in taken:
+            k += 1
+            name = base[: -len(".png")] + f"_{k}.png"
+        taken.add(name)
+        out_names[p] = name
+
+    def _one(path: str) -> str:
+        if not args.output:
+            return os.path.splitext(path)[0] + "_pred.png"
+        if len(args.input) == 1:
+            return args.output
+        return os.path.join(args.output, out_names[path])
+
+    return {p: _one(p) for p in args.input}
+
+
+def _predict_stream(args, cfg, explicit_calib) -> int:
+    """Bounded-memory predict: each scene streams band-by-band through the
+    device-stitch serving path (``data/serve.py::stream_scene_inference``)
+    and finalized rows are argmaxed straight into a uint8 prediction.
+
+    Resident memory is one input row band + one device call of tiles + the
+    (H, W) uint8 prediction — never the (H, W, C) f32 logits the in-memory
+    path accumulates on device (8x larger at C=2: 2 GB at 16384^2).
+    ``.npy`` inputs open memmapped, so >RAM strips never materialize on
+    host; uint8 input normalizes ON DEVICE (4x less host->device traffic).
+    f32 ``.npy`` scenes must be pre-normalized. Single-chip path — one
+    compiled band program per scene shape; for many moderate scenes on a
+    mesh, the default batched path is the throughput configuration.
+    """
+    from PIL import Image
+
+    from insarseg.data.serve import stream_scene_inference
+    from insarseg.engines import supported
+    from insarseg.models.registry import build_model
+
+    engine_name = getattr(args, "engine", "module") or "module"
+    if not supported(cfg.model, cfg.attention, engine_name):
+        raise SystemExit(
+            f"--engine {engine_name} does not support "
+            f"({cfg.model}, {cfg.attention})")
+
+    def open_scene(path: str) -> np.ndarray:
+        if path.endswith(".npy"):
+            arr = np.load(path, mmap_mode="r")
+            if arr.ndim == 3 and arr.shape[-1] == 1:
+                arr = arr[..., 0]
+            if arr.ndim != 2 or arr.dtype not in (np.uint8, np.float32):
+                raise SystemExit(
+                    f"--stream .npy scene must be 2D uint8 or f32 "
+                    f"(pre-normalized), got {arr.shape} {arr.dtype}: {path}")
+            return arr
+        return np.asarray(Image.open(path).convert("L"), np.uint8)
+
+    scenes = {p: open_scene(p) for p in args.input}
+    for p, arr in scenes.items():
+        if min(arr.shape) < args.tile:
+            raise SystemExit(
+                f"--stream needs scenes >= tile ({args.tile}); {p} is "
+                f"{arr.shape} — drop --stream or lower --tile")
+
+    norm = (cfg.normalize_mean, cfg.normalize_std)
+    model = build_model(cfg)
+    if getattr(args, "engine_artifact", None):
+        from insarseg.engines import engine_from_artifact
+        from insarseg.engines_io import load_artifact
+
+        art = load_artifact(args.engine_artifact)
+        _check_artifact_vs_cfg(art, cfg, args, explicit_calib)
+        eng = engine_from_artifact(art, mesh=None)
+    else:
+        variables = _load_variables(args, cfg, model)
+        calib = None
+        if engine_name == "int8":
+            calib = _stream_calib(next(iter(scenes.values())), args, norm)
+        eng = _build_engine_maybe_save(args, cfg, model, variables,
+                                       engine_name, calib, None)
+
+    if args.output and len(args.input) > 1:
+        os.makedirs(args.output, exist_ok=True)
+    out_paths = _output_paths(args)
+    gray_step = max(255 // max(cfg.num_classes - 1, 1), 1)
+    for path, arr in scenes.items():
+        h, w = arr.shape
+        pred = np.empty((h, w), np.uint8)
+
+        def writer(r0: int, rows: np.ndarray, _pred=pred) -> None:
+            _pred[r0 : r0 + rows.shape[0]] = np.argmax(rows, -1)
+
+        stream_scene_inference(
+            eng, arr, (h, w), cfg.num_classes, tile=args.tile,
+            overlap=args.overlap, batch_size=args.tile_batch or 128,
+            normalize=norm if arr.dtype == np.uint8 else None,
+            writer=writer)
+        Image.fromarray(pred * np.uint8(gray_step), "L").save(out_paths[path])
+        print(f"prediction written to {out_paths[path]}")
+    return 0
+
+
+def _stream_calib(arr, args, norm):
+    """int8 calibration groups (4 tiles each) spread across the first
+    --stream scene, normalized on host — the calibration replay consumes
+    normalized f32 tiles even though the stream path itself normalizes on
+    device."""
+    from insarseg.data.stitch import plan_tiles
+
+    h, w = arr.shape
+    pos = plan_tiles(h, w, args.tile, args.overlap)
+    n = min(len(pos), 4 * max(args.calib_batches or 4, 1))
+    if n > 4:
+        n -= n % 4
+    stride = max(len(pos) // n, 1)
+    pos = pos[::stride][:n]
+    mean, std = norm
+    group = min(4, len(pos))
+    groups = []
+    for i in range(0, len(pos) - group + 1, group):
+        tiles = np.stack([
+            np.asarray(arr[r : r + args.tile, c : c + args.tile], np.float32)
+            for r, c in pos[i : i + group]])[..., None]
+        if arr.dtype == np.uint8:
+            tiles = (tiles / 255.0 - mean) / std
+        groups.append(tiles)
+    return groups
+
+
 def _predict_scenes(args, cfg, scenes, eng, mesh) -> int:
     """Write one ``*_pred.png`` per input scene. Same-shaped scenes share
     one tile plan and run through the batched multi-scene pipeline — one
@@ -418,28 +556,10 @@ def _predict_scenes(args, cfg, scenes, eng, mesh) -> int:
 
     if args.output and len(args.input) > 1:
         os.makedirs(args.output, exist_ok=True)
-
-    # Precompute output names: joining only the basename into --output
-    # would silently overwrite when two --input scenes from different
-    # directories share a filename (round-4 advisor) — uniquify later
-    # duplicates with a numeric suffix.
-    out_names: "dict[str, str]" = {}
-    taken: "set[str]" = set()
-    for p in args.input:
-        base = os.path.splitext(os.path.basename(p))[0] + "_pred.png"
-        name, k = base, 1
-        while name in taken:
-            k += 1
-            name = base[: -len(".png")] + f"_{k}.png"
-        taken.add(name)
-        out_names[p] = name
+    out_paths = _output_paths(args)
 
     def _out_path(path: str) -> str:
-        if not args.output:
-            return os.path.splitext(path)[0] + "_pred.png"
-        if len(args.input) == 1:
-            return args.output
-        return os.path.join(args.output, out_names[path])
+        return out_paths[path]
 
     # group inputs by scene shape: one tile plan (and one compiled stitch
     # program) per distinct shape, batched within each group
@@ -623,6 +743,14 @@ def main(argv=None) -> int:
             p.add_argument("--tile", type=int, default=512)
             p.add_argument("--overlap", type=int, default=64)
             p.add_argument("--tile-batch", type=int, default=None)
+            p.add_argument("--stream", action="store_true",
+                           help="bounded-memory streaming inference for "
+                                "scenes too large to hold logits in RAM: "
+                                "reads .npy (memmapped, uint8 or "
+                                "pre-normalized f32) or image inputs band-"
+                                "by-band, stitches on device "
+                                "(data/serve.py), argmaxes rows straight "
+                                "into the uint8 prediction; single-chip")
             p.add_argument("--engine", default="module",
                            choices=["module", "serve", "int8"],
                            help="inference engine: 'module' (parity graph, "

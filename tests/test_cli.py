@@ -312,3 +312,65 @@ def test_cli_predict_unet_fast_variant(workdir):
     from PIL import Image
 
     assert Image.open("pred_fast8.png").size == (48, 48)
+
+
+# --- predict --stream (bounded-memory scene path, round 5) ----------------
+
+
+def test_cli_predict_stream_matches_in_memory(workdir):
+    """--stream (device-stitch band streaming + row argmax) agrees with the
+    in-memory predict on the same scene, same fresh-init weights."""
+    os.chdir(workdir)
+    rc = cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "32",
+                   "--overlap", "8", "--output", "mem.png"])
+    assert rc == 0
+    rc = cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "32",
+                   "--overlap", "8", "--stream", "--output", "strm.png"])
+    assert rc == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open("mem.png"))
+    b = np.asarray(Image.open("strm.png"))
+    # identical up to near-tie argmax flips (forward batch shape differs)
+    assert (a != b).mean() <= 1e-3
+
+
+def test_cli_predict_stream_npy_memmap(workdir):
+    """.npy input opens memmapped (the >RAM strip format) and matches the
+    in-memory prediction of the same uint8 data saved as PNG."""
+    os.chdir(workdir)
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (64, 80), np.uint8)
+    np.save("strip.npy", arr)
+    rc = cli_main(["predict", *BASE, "--input", "strip.npy", "--tile", "32",
+                   "--overlap", "8", "--stream", "--output",
+                   "strip_pred.png"])
+    assert rc == 0
+    from PIL import Image
+
+    got = np.asarray(Image.open("strip_pred.png"))
+    assert got.shape == (64, 80)
+    Image.fromarray(arr, "L").save("strip.png")
+    rc = cli_main(["predict", *BASE, "--input", "strip.png", "--tile", "32",
+                   "--overlap", "8", "--output", "strip_mem.png"])
+    assert rc == 0
+    want = np.asarray(Image.open("strip_mem.png"))
+    assert (got != want).mean() <= 1e-3
+
+
+def test_cli_predict_stream_int8(workdir):
+    """--stream --engine int8 self-calibrates from spread scene tiles."""
+    os.chdir(workdir)
+    rc = cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "32",
+                   "--overlap", "8", "--stream", "--engine", "int8",
+                   "--output", "strm_i8.png"])
+    assert rc == 0 and os.path.exists("strm_i8.png")
+
+
+def test_cli_predict_stream_small_scene_rejected(workdir):
+    """Scenes smaller than the tile are told to drop --stream (the
+    in-memory path pads them; the band streamer does not)."""
+    os.chdir(workdir)
+    with pytest.raises(SystemExit, match="drop --stream"):
+        cli_main(["predict", *BASE, "--input", "scene.png", "--tile", "64",
+                  "--overlap", "8", "--stream"])
