@@ -125,6 +125,13 @@ def main() -> None:
                 [cells[c]["miou_module"] for c in PUBLISHED],
                 [PUBLISHED[c] for c in PUBLISHED]), 4)
 
+    # ordering of the seed-MEAN mIoUs vs the published table (the
+    # aggregate claim: noise-averaged ranks)
+    means = {r["cell"]: r["mean"] for r in table if r["cell"] in PUBLISHED}
+    spearman_means = (round(spearman([means[c] for c in PUBLISHED],
+                                     [PUBLISHED[c] for c in PUBLISHED]), 4)
+                      if all(c in means for c in PUBLISHED) else None)
+
     # the two pairs that flipped at seed 0: is |mean gap| inside the
     # combined cross-seed spread of the pair?
     flips = {}
@@ -165,6 +172,7 @@ def main() -> None:
 
     print(json.dumps({"summary": "hard_grid_multiseed",
                       "spearman_per_seed": spearmans,
+                      "spearman_of_means": spearman_means,
                       "flipped_pairs": flips,
                       "structure_per_seed": struct}, indent=2))
 
