@@ -69,6 +69,10 @@ def main() -> None:
                     action=argparse.BooleanOptionalAction, default=True,
                     help="stitch on device (round-5 path); --no-device-"
                          "stitch measures the host rolling stitcher")
+    ap.add_argument("--emit", default="logits", choices=["logits", "argmax"],
+                    help="argmax: uint8 class rows computed on device — "
+                         "8x less device->host traffic than f32 logits "
+                         "(the CLI predict --stream configuration)")
     args = ap.parse_args()
     if not args.cmf:
         args.dstitch = False
@@ -91,8 +95,12 @@ def main() -> None:
         mm.flush()
         del mm
     scene = np.memmap(scene_path, np.uint8, "r", shape=(px, px))
-    out = np.memmap(f"/tmp/stream_out_{px}.f32", np.float32, "w+",
-                    shape=(px, px, 2))
+    if args.emit == "argmax":
+        out = np.memmap(f"/tmp/stream_out_{px}.u8", np.uint8, "w+",
+                        shape=(px, px))
+    else:
+        out = np.memmap(f"/tmp/stream_out_{px}.f32", np.float32, "w+",
+                        shape=(px, px, 2))
 
     model = build(args.model, "channel", dtype=jnp.bfloat16)
     variables = retry_transient(
@@ -117,7 +125,8 @@ def main() -> None:
 
     kw = dict(tile=tile, overlap=overlap, batch_size=args.batch,
               normalize=(0.5, 0.5), writer=out, n_threads=args.n_threads,
-              channel_major_fetch=args.cmf, device_stitch=args.dstitch)
+              channel_major_fetch=args.cmf, device_stitch=args.dstitch,
+              emit=args.emit)
 
     rss0 = rss_mb()
     t0 = time.perf_counter()
@@ -141,7 +150,8 @@ def main() -> None:
                   f"_b{args.batch}"
                   + ("" if args.model == "unet" else f"_{args.model}")
                   + ("" if args.dstitch else "_host")
-                  + ("" if args.cmf else "_nocmf"),
+                  + ("" if args.cmf else "_nocmf")
+                  + ("" if args.emit == "logits" else "_argmax"),
         "value": round(n_tiles / dt, 1),
         "unit": "tiles/sec/chip",
         "eq_512_tiles_per_sec": round(eq_tiles / dt, 1),

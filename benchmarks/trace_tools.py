@@ -63,6 +63,8 @@ def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
         if nm.startswith("jit_"):
             print(f"TOTAL {us / (1000 * iters):8.2f} ms/iter  {nm[:50]}")
             continue
+        if nm.isdigit():  # whole-program execution spans, one per iteration
+            continue
         shape, op, src = info.get(nm, ("?", "?", ""))
         rows.append((us / (1000 * iters), nm, shape, op, src))
     for ms, nm, shape, op, src in rows[:40]:
@@ -128,6 +130,12 @@ def _build(graph: str, batch: int, tile: int, bf16: bool = False,
                 holder["state"] = new_state
             return out["loss"]
 
+        # HLO for the metadata join must come from the INNER jitted step —
+        # re-lowering the wrapper builds a different program whose fusion
+        # names don't match the traced one (the round-5 first-pass train
+        # tables were mostly '?' rows for this reason)
+        run.lowered_hlo = (
+            step.lower(state, x, masks, key).compile().as_text())
         return run, x
     raise SystemExit(f"unknown graph {graph!r}")
 
@@ -157,7 +165,9 @@ def main() -> None:
         return float(jnp.ravel(o.astype(jnp.float32))[0])
 
     sync(predict(x))  # compile
-    hlo = jax.jit(predict).lower(x).compile().as_text()
+    hlo = getattr(predict, "lowered_hlo", None)
+    if hlo is None:
+        hlo = jax.jit(predict).lower(x).compile().as_text()
 
     trace_dir = tempfile.mkdtemp(prefix=f"trace_{args.graph}_")
     jax.profiler.start_trace(trace_dir)

@@ -498,16 +498,15 @@ def _predict_stream(args, cfg, explicit_calib) -> int:
     gray_step = max(255 // max(cfg.num_classes - 1, 1), 1)
     for path, arr in scenes.items():
         h, w = arr.shape
+        # emit="argmax": the class map is computed on device and crosses
+        # to the host as uint8 rows — 8x less fetch than f32 logits, the
+        # measured stream-path bottleneck (benchmarks/stream_bench.py)
         pred = np.empty((h, w), np.uint8)
-
-        def writer(r0: int, rows: np.ndarray, _pred=pred) -> None:
-            _pred[r0 : r0 + rows.shape[0]] = np.argmax(rows, -1)
-
         stream_scene_inference(
             eng, arr, (h, w), cfg.num_classes, tile=args.tile,
             overlap=args.overlap, batch_size=args.tile_batch or 128,
             normalize=norm if arr.dtype == np.uint8 else None,
-            writer=writer)
+            writer=pred, emit="argmax")
         Image.fromarray(pred * np.uint8(gray_step), "L").save(out_paths[path])
         print(f"prediction written to {out_paths[path]}")
     return 0

@@ -104,6 +104,7 @@ def stream_scene_inference(
     n_threads: int = 4,
     channel_major_fetch: Optional[bool] = None,
     device_stitch: Optional[bool] = None,
+    emit: str = "logits",
 ) -> Optional[np.ndarray]:
     """Stream a (possibly >RAM) scene through tiled inference.
 
@@ -142,17 +143,29 @@ def stream_scene_inference(
         threads the row-overlap carry through an in-program ``lax.scan``,
         and hands the host finalized output rows: host work is pure IO.
         ``False`` selects the original host rolling-stitcher path.
+      emit: ``"logits"`` (default) hands the writer finalized f32
+        ``(n, W, out_channels)`` logit rows; ``"argmax"`` (device-stitch
+        path only) argmaxes ON DEVICE and hands the writer uint8 ``(n, W)``
+        class rows — 8x less device->host traffic at C=2 f32, the lever
+        that matters when the output must cross a host link (the stitched
+        scene itself is the transfer floor; see benchmarks/stream_bench.py).
+        The divide by the stitch denominator is a positive per-pixel scale
+        shared across channels, so device argmax of the raw accumulator is
+        exactly argmax of the stitched logits.
 
-    Returns the stitched scene when ``writer`` is None, else None.
+    Returns the stitched scene when ``writer`` is None, else None
+    (``emit="argmax"`` returns/writes uint8 ``(H, W)`` class indices).
     """
     h, w = scene_shape
     assert h >= tile and w >= tile, (h, w, tile)
+    assert emit in ("logits", "argmax"), emit
     if device_stitch is None:
         device_stitch = True
     if device_stitch:
         return _stream_device_stitch(
             apply_fn, reader, scene_shape, out_channels, tile, overlap,
-            window, batch_size, normalize, writer)
+            window, batch_size, normalize, writer, emit)
+    assert emit == "logits", "emit='argmax' needs the device-stitch path"
     if channel_major_fetch is None:
         channel_major_fetch = out_channels < 8
     if channel_major_fetch:
@@ -160,8 +173,12 @@ def stream_scene_inference(
         import jax.numpy as jnp
 
         inner = apply_fn
-        # jit-of-jit inlines the engine: one program, one dispatch per chunk
-        apply_fn = jax.jit(lambda x: jnp.transpose(inner(x), (0, 3, 1, 2)))
+        # separate jitted transpose AFTER the engine call (inlining the
+        # engine into a wrapper jit would bake its packed weights into the
+        # wrapper as constants — a ~140 MB MLIR program that crashes the
+        # remote compile helper for bf16/f32 engines; measured round 5)
+        cmaj = jax.jit(lambda y: jnp.transpose(y, (0, 3, 1, 2)))
+        apply_fn = lambda x: cmaj(inner(x))  # noqa: E731
     stride = tile - overlap
     row_starts = _starts(h, tile, stride)
     col_starts = _starts(w, tile, stride)
@@ -185,7 +202,10 @@ def stream_scene_inference(
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - valid,) + chunk.shape[1:],
                                      chunk.dtype)])
-            outs.append((apply_fn(chunk), valid))
+            # slice the pad tiles off ON DEVICE: fetching the full padded
+            # batch cost 128/19 = 6.7x the wire bytes at 8192 px (the
+            # tunnel moves ~100-160 MB/s; measured round 5)
+            outs.append((apply_fn(chunk)[:valid], valid))
         return outs
 
     def stitch_band(r0: int, outs: list) -> None:
@@ -224,21 +244,30 @@ def _stream_device_stitch(
     batch_size: int,
     normalize: Optional[Tuple[float, float]],
     writer: Optional[Writer],
+    emit: str = "logits",
 ) -> Optional[np.ndarray]:
     """Streaming scene inference with the stitch on device (TPU-first).
 
     Why: the single-core host runs ``stitch_accumulate`` at ~61 tiles/s —
     ~8x under the 613 t/s int8 engine — and one row band holds only
     ``W/stride`` column tiles (19 at 8192 px), so a 128-tile call in the
-    host path pads ~85% of every forward batch. Here one jitted program
-    (the engine inlined — one dispatch, one compiled shape) takes G =
-    batch_size//n_cols row bands of tiles plus the row-overlap carry,
-    normalizes on device (uint8 upload: 4x less host->device traffic),
-    runs the forward, window-weights and column-overlap-adds each band at
+    host path pads ~85% of every forward batch. Here the chip does all the
+    stitch work: a per-call pipeline of three compiled programs —
+    ``prep`` (uint8 upload + on-device normalize: 4x less host->device
+    traffic), the serving engine itself (called STANDALONE, not traced
+    into a wrapper: inlining it would re-bake its packed weights as
+    program constants, a ~140 MB MLIR blob that crashes the remote
+    compile helper for bf16/f32 engines — measured round 5), and
+    ``stitch`` — takes G = batch_size//n_cols row bands of logits plus the
+    row-overlap carry, window-weights and column-overlap-adds each band at
     static offsets, divides the finalized rows by precomputed denominator
     constants, and emits channel-major (C, stride, W) rows — a narrow-lane
     (..., 2) fetch would relayout with 64x lane padding (CLAUDE.md round
-    4). The host only stacks input tiles and writes output rows.
+    4). With ``emit="argmax"`` the stitch program also argmaxes the raw
+    row accumulator (argmax is invariant to the positive per-pixel
+    denominator divide), and the host fetches ONLY uint8 class rows — the
+    stitched-output transfer drops 8x. The host does pure IO: stack input
+    tiles, write output rows.
 
     Scene-edge cases are fixed up on host, once per scene, with O(tile*W)
     numpy (no second compiled program):
@@ -262,10 +291,31 @@ def _stream_device_stitch(
     stride = tile - overlap
     if 2 * overlap > tile:
         # bands would overlap beyond one neighbor; rare config — take the
-        # general host path instead
+        # general host path instead (argmaxing its f32 rows on host so the
+        # writer contract stays the same)
+        if emit == "argmax":
+            h_, w_ = scene_shape
+            out_u8 = None if writer is not None else np.empty(
+                (h_, w_), np.uint8)
+
+            def am_writer(r0: int, rows: np.ndarray) -> None:
+                cls = np.argmax(rows, -1).astype(np.uint8)
+                if writer is None:
+                    out_u8[r0 : r0 + cls.shape[0]] = cls
+                elif callable(writer):
+                    writer(r0, cls)
+                else:
+                    writer[r0 : r0 + cls.shape[0]] = cls
+
+            stream_scene_inference(
+                apply_fn, reader, scene_shape, out_channels, tile, overlap,
+                window, batch_size, normalize, am_writer,
+                device_stitch=False)
+            return out_u8
         return stream_scene_inference(
             apply_fn, reader, scene_shape, out_channels, tile, overlap,
             window, batch_size, normalize, writer, device_stitch=False)
+    argmax = emit == "argmax"
     row_starts = _starts(h, tile, stride)
     col_starts = _starts(w, tile, stride)
     n_cols = len(col_starts)
@@ -289,6 +339,11 @@ def _stream_device_stitch(
 
     G = min(max(1, (batch_size or n_cols) // n_cols), n_uni)
     B = G * n_cols
+    # the engine batch stays the caller's batch_size (>= B): engines jitted
+    # with mesh in_shardings need device-count-multiple batches, and b128 is
+    # the measured int8 sweet spot; the pad tiles' logits are sliced off
+    # before the stitch
+    EB = max(batch_size or B, B)
 
     probe = _read_band(reader, 0, 1)
     is_u8 = probe.dtype == np.uint8
@@ -300,15 +355,16 @@ def _stream_device_stitch(
     d_olap = jnp.asarray(den_olap)[:, :, None]
     d_solo = jnp.asarray(den_solo)[:, :, None]
 
-    def band_program(tiles, carry_cm):
+    if do_norm:
+        prep = jax.jit(lambda u: (u.astype(jnp.float32) / 255.0 - mean) / std)
+    else:
+        prep = jax.jit(lambda t: t.astype(jnp.float32))
+
+    def stitch_program(lg_in, carry_cm):
         # the carry crosses the jit boundary channel-major: a (.., C=2)
         # narrow-lane layout can pay a 64x padded relayout there (CLAUDE.md)
         carry = jnp.transpose(carry_cm, (1, 2, 0))
-        x = tiles.astype(jnp.float32)
-        if do_norm:
-            x = (x / 255.0 - mean) / std
-        lg = apply_fn(x).astype(jnp.float32).reshape(
-            G, n_cols, tile, tile, C)
+        lg = lg_in[:B].astype(jnp.float32).reshape(G, n_cols, tile, tile, C)
 
         def step(cry, band):
             acc = jnp.zeros((tile, w, C), jnp.float32)
@@ -317,19 +373,38 @@ def _stream_device_stitch(
                     acc, (0, c0, 0), (tile, tile, C))
                 acc = jax.lax.dynamic_update_slice(
                     acc, cur + band[k] * wnd3, (0, c0, 0))
-            head = (cry + acc[:overlap]) / d_olap
-            solo = acc[overlap:stride] / d_solo
-            emit = jnp.concatenate([head, solo], axis=0)
+            head_raw = cry + acc[:overlap]
+            solo_raw = acc[overlap:stride]
+            emit_raw = jnp.concatenate([head_raw, solo_raw], axis=0)
+            emit = jnp.concatenate(
+                [head_raw / d_olap, solo_raw / d_solo], axis=0)
             tail = acc[stride:]
+            # argmax(raw) == argmax(stitched): the denominator divide is a
+            # positive per-pixel scale shared across channels
             return tail, (jnp.transpose(emit, (2, 0, 1)),
-                          jnp.transpose(tail, (2, 0, 1)))
+                          jnp.argmax(emit_raw, -1).astype(jnp.uint8),
+                          jnp.transpose(tail, (2, 0, 1)),
+                          jnp.argmax(tail, -1).astype(jnp.uint8))
 
-        cry_out, (emits, tails) = jax.lax.scan(step, carry, lg)
-        return emits, tails, jnp.transpose(cry_out, (2, 0, 1))
+        cry_out, (emits, emits_u8, tails, tails_u8) = jax.lax.scan(
+            step, carry, lg)
+        return (emits, emits_u8, tails, tails_u8,
+                jnp.transpose(cry_out, (2, 0, 1)))
 
-    prog = jax.jit(band_program)
+    stitch = jax.jit(stitch_program)
 
-    out = None if writer is not None else np.empty((h, w, C), np.float32)
+    def prog(tiles, carry):
+        # three queued dispatches per call: prep -> engine -> stitch. The
+        # engine runs its OWN compiled program (never traced into another
+        # jit — see the docstring); the extra dispatch boundaries cost
+        # ~30 ms/call on the axon tunnel, amortized over EB tiles.
+        return stitch(apply_fn(prep(tiles)), carry)
+
+    if writer is not None:
+        out = None
+    else:
+        out = (np.empty((h, w), np.uint8) if argmax
+               else np.empty((h, w, C), np.float32))
 
     def emit_rows(r0: int, rows: np.ndarray) -> None:
         if writer is None:
@@ -339,25 +414,52 @@ def _stream_device_stitch(
         else:
             writer[r0 : r0 + rows.shape[0]] = rows
 
+    def emit_f32(r0: int, rows: np.ndarray) -> None:
+        # scene-edge fixups are computed in f32 on host; in argmax mode
+        # convert before handing them to the uint8 writer
+        emit_rows(r0, np.argmax(rows, -1).astype(np.uint8) if argmax
+                  else rows)
+
     def make_call(rows) -> np.ndarray:
         tiles = []
         for r0 in rows:
             band = _read_band(reader, r0, tile)
             tiles.extend(band[:, c0 : c0 + tile] for c0 in col_starts)
         stackd = np.stack(tiles).astype(in_dtype, copy=False)
-        if len(tiles) < B:  # pad bands (final call only); emits discarded
+        if len(tiles) < EB:  # pad to the engine batch; emits discarded
             stackd = np.concatenate(
-                [stackd, np.zeros((B - len(tiles),) + stackd.shape[1:],
+                [stackd, np.zeros((EB - len(tiles),) + stackd.shape[1:],
                                   in_dtype)])
         return stackd
 
     hold = None  # (r_prev, emit, tail) of the last uniform band, if ragged
 
-    def drain(rows, emits_dev, tails_dev, last_call: bool) -> None:
+    def drain(rows, emits_dev, emits_u8_dev, tails_dev, tails_u8_dev,
+              last_call: bool) -> None:
         nonlocal hold
         V = len(rows)
-        em = np.asarray(emits_dev[:V])  # one fetch: (V, C, stride, W)
+        # the bulk fetch: uint8 class rows in argmax mode (8x less than
+        # f32 logits at C=2), channel-major f32 logit rows otherwise
+        em = None if argmax else np.asarray(emits_dev[:V])
+        em_u8 = np.asarray(emits_u8_dev[:V]) if argmax else None
         for g, r0 in enumerate(rows):
+            if last_call and g == V - 1 and ragged is not None:
+                # the clamped last band must be blended in raw f32 space;
+                # hold this band's f32 rows back (fetched even in argmax
+                # mode — one band, not the scene)
+                e = np.ascontiguousarray(
+                    np.moveaxis(np.asarray(emits_dev[g]), 0, -1))
+                if r0 == 0:
+                    e[:overlap] = (e[:overlap] * den_olap[:, :, None]
+                                   / den_head[:, :, None])
+                tail = np.moveaxis(np.asarray(tails_dev[V - 1]), 0, -1)
+                hold = (r0, e, np.ascontiguousarray(tail))
+                return
+            if argmax:
+                emit_rows(r0, em_u8[g])
+                if last_call and g == V - 1:
+                    emit_rows(r0 + stride, np.asarray(tails_u8_dev[V - 1]))
+                continue
             e = np.moveaxis(em[g], 0, -1)  # (stride, W, C) view
             if r0 == 0:
                 # first band: head rows carry no previous-band tail —
@@ -365,31 +467,27 @@ def _stream_device_stitch(
                 e = np.ascontiguousarray(e)
                 e[:overlap] = (e[:overlap] * den_olap[:, :, None]
                                / den_head[:, :, None])
+            emit_rows(r0, e)
             if last_call and g == V - 1:
                 tail = np.moveaxis(np.asarray(tails_dev[V - 1]), 0, -1)
-                if ragged is not None:
-                    hold = (r0, np.ascontiguousarray(e),
-                            np.ascontiguousarray(tail))
-                    return
-                emit_rows(r0, e)
                 emit_rows(r0 + stride, tail / den_tail[:, :, None])
-                return
-            emit_rows(r0, e)
 
     calls = [uni_rows[i : i + G] for i in range(0, n_uni, G)]
     carry = jnp.zeros((C, overlap, w), jnp.float32)
     pending = None
     for ci, rows in enumerate(calls):
         tiles = make_call(rows)
-        emits_dev, tails_dev, carry = prog(tiles, carry)
+        emits_dev, emits_u8_dev, tails_dev, tails_u8_dev, carry = prog(
+            tiles, carry)
         if pending is not None:
             drain(*pending)  # host IO overlaps the queued device forward
-        pending = (rows, emits_dev, tails_dev, ci == len(calls) - 1)
+        pending = (rows, emits_dev, emits_u8_dev, tails_dev, tails_u8_dev,
+                   ci == len(calls) - 1)
 
     if ragged is not None:
         # dispatch the clamped last band (zero carry: we recover raw acc)
         r_tiles = make_call([ragged])
-        r_emits, r_tails, _ = prog(
+        r_emits, _, r_tails, _, _ = prog(
             r_tiles, jnp.zeros((C, overlap, w), jnp.float32))
         drain(*pending)
         e_r = np.moveaxis(np.asarray(r_emits[0]), 0, -1)
@@ -412,8 +510,8 @@ def _stream_device_stitch(
         total_den = band_den.copy()
         total_den[:L] += prev_prof[s:]
 
-        emit_rows(r_prev, prev_emit[:s])
-        emit_rows(ragged, total_acc / total_den[:, :, None])
+        emit_f32(r_prev, prev_emit[:s])
+        emit_f32(ragged, total_acc / total_den[:, :, None])
     else:
         drain(*pending)
     return out

@@ -262,3 +262,76 @@ def test_stream_device_stitch_big_overlap_falls_back():
         apply_fn, scene, (h, w), out_channels=2, tile=48, overlap=30,
         batch_size=4, normalize=None, device_stitch=True)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("h", [112, 114, 48, 146])
+def test_stream_emit_argmax_matches_in_ram(h):
+    """emit='argmax' computes the class map ON DEVICE (uint8 rows cross to
+    the host — 8x less fetch than f32 logits at C=2) and must equal argmax
+    of the in-RAM stitched logits across every band topology: uniform rows,
+    clamped last band, single band, clamped-after-many."""
+    w = 130
+    rng = np.random.default_rng(21)
+    scene = _scene(rng, h, w)
+    want = np.argmax(np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP)), -1)
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=6, normalize=None, device_stitch=True, emit="argmax")
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_emit_argmax_writer_u8(tmp_path):
+    """argmax mode hands the writer uint8 (n, W) class rows (the CLI
+    --stream contract: rows land straight in the prediction memmap)."""
+    h, w = 146, 112
+    rng = np.random.default_rng(22)
+    scene = _scene(rng, h, w)
+    dst = np.memmap(tmp_path / "pred.u8", np.uint8, "w+", shape=(h, w))
+    ret = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=TILE, overlap=OVERLAP,
+        batch_size=6, normalize=None, writer=dst, device_stitch=True,
+        emit="argmax")
+    assert ret is None
+    want = np.argmax(np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=TILE, overlap=OVERLAP)), -1)
+    np.testing.assert_array_equal(np.asarray(dst), want)
+
+
+def test_stream_emit_argmax_big_overlap_falls_back():
+    """overlap > tile/2 routes argmax mode through the host path with a
+    host-side argmax wrapper — same uint8 contract."""
+    h, w = 96, 96
+    rng = np.random.default_rng(23)
+    scene = _scene(rng, h, w)
+    want = np.argmax(np.asarray(sliding_window_inference(
+        apply_fn, jnp.asarray(scene), tile=48, overlap=30)), -1)
+    got = stream_scene_inference(
+        apply_fn, scene, (h, w), out_channels=2, tile=48, overlap=30,
+        batch_size=4, normalize=None, device_stitch=True, emit="argmax")
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_engine_not_inlined():
+    """The device-stitch path must call apply_fn OUTSIDE its own jitted
+    programs: tracing the engine into a wrapper jit re-bakes its packed
+    weights as program constants (a ~140 MB MLIR blob that crashed the
+    remote compile helper for bf16/f32 engines, round 5)."""
+    import jax
+
+    h, w = 112, 96
+    calls = []
+
+    def spying_apply(x):
+        calls.append(isinstance(jnp.zeros(()), jax.core.Tracer)
+                     or isinstance(x, jax.core.Tracer))
+        return apply_fn(x)
+
+    rng = np.random.default_rng(24)
+    scene = _scene(rng, h, w)
+    stream_scene_inference(
+        spying_apply, scene, (h, w), out_channels=2, tile=TILE,
+        overlap=OVERLAP, batch_size=6, normalize=None, device_stitch=True)
+    assert calls and not any(calls), "engine was traced into a jit"
