@@ -27,18 +27,20 @@ import tempfile
 def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
     """Join trace fusion durations with HLO metadata -> printed table."""
     info = {}
+    # shape may be a tuple "(f32[...], f32[...])" for multi-output fusions
+    # (BN stat / gradient reductions) — the round-5 first-pass train tables
+    # lost exactly those rows to '?' by requiring a space-free shape.
     pat = re.compile(
-        r"^\s+%([\w.\-]+) = (\S+) "
-        r"(?:fusion|copy|reduce|convolution|reduce-window)\((.*)$",
+        r"^\s+(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+) ([\w\-]+)\((.*)$",
         re.M,
     )
     for m in pat.finditer(hlo_text):
-        name, shape, rest = m.groups()
+        name, shape, kind, rest = m.groups()
         om = re.search(r'op_name="([^"]*)"', rest)
         sf = re.search(r'source_file="([^"]*)"', rest)
         sl = re.search(r"source_line=(\d+)", rest)
         src = (sf.group(1).split("/")[-1] + ":" + sl.group(1)) if sf and sl else ""
-        op = (om.group(1) if om else "?").split(")/")[-1]
+        op = (om.group(1) if om else kind).split(")/")[-1]
         info[name] = (shape[:44], op[:40], src)
 
     paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
@@ -69,6 +71,13 @@ def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
         rows.append((us / (1000 * iters), nm, shape, op, src))
     for ms, nm, shape, op, src in rows[:40]:
         print(f"{ms:8.2f} ms  {nm:28s} {shape:44s} {op:40s} {src}")
+    # full table + HLO saved for offline category analysis (the chip job
+    # log only keeps the top 40)
+    with open(trace_dir + "/rows.json", "w") as f:
+        json.dump(rows, f)
+    with open(trace_dir + "/hlo.txt", "w") as f:
+        f.write(hlo_text)
+    print(f"rows+hlo saved under {trace_dir}")
     return rows
 
 
