@@ -24,24 +24,49 @@ import re
 import tempfile
 
 
-def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
-    """Join trace fusion durations with HLO metadata -> printed table."""
+def _parse_hlo(hlo_text: str):
+    """name -> (shape, op, src) from optimized-HLO text.
+
+    Tuple shapes of multi-output fusions embed layout parens —
+    ``(f32[64]{0:T(128)S(1)}, f32[16,...]{...:T(8,128)})`` — so the shape
+    needs balanced-paren scanning, not a regex (the round-5 first- and
+    second-pass train tables both lost those rows to '?').
+    """
     info = {}
-    # shape may be a tuple "(f32[...], f32[...])" for multi-output fusions
-    # (BN stat / gradient reductions) — the round-5 first-pass train tables
-    # lost exactly those rows to '?' by requiring a space-free shape.
-    pat = re.compile(
-        r"^\s+(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+) ([\w\-]+)\((.*)$",
-        re.M,
-    )
-    for m in pat.finditer(hlo_text):
-        name, shape, kind, rest = m.groups()
-        om = re.search(r'op_name="([^"]*)"', rest)
-        sf = re.search(r'source_file="([^"]*)"', rest)
-        sl = re.search(r"source_line=(\d+)", rest)
+    head = re.compile(r"\s+(?:ROOT )?%?([\w.\-]+) = ")
+    for line in hlo_text.splitlines():
+        m = head.match(line)
+        if not m:
+            continue
+        name, rest = m.group(1), line[m.end():]
+        if rest.startswith("("):  # tuple shape: scan to the balanced close
+            depth, end = 0, len(rest)
+            for i, ch in enumerate(rest):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i + 1
+                        break
+            shape, tail = rest[:end], rest[end:]
+        else:
+            shape, _, tail = rest.partition(" ")
+            tail = " " + tail
+        km = re.match(r"\s*([\w\-]+)\(", tail)
+        kind = km.group(1) if km else "?"
+        om = re.search(r'op_name="([^"]*)"', line)
+        sf = re.search(r'source_file="([^"]*)"', line)
+        sl = re.search(r"source_line=(\d+)", line)
         src = (sf.group(1).split("/")[-1] + ":" + sl.group(1)) if sf and sl else ""
         op = (om.group(1) if om else kind).split(")/")[-1]
         info[name] = (shape[:44], op[:40], src)
+    return info
+
+
+def analyze(trace_dir: str, hlo_text: str, iters: int = 3):
+    """Join trace fusion durations with HLO metadata -> printed table."""
+    info = _parse_hlo(hlo_text)
 
     paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
     assert paths, f"no trace under {trace_dir}"
@@ -161,7 +186,15 @@ def main() -> None:
     ap.add_argument("--model", default="unet",
                     choices=["unet", "unet-fast"],
                     help="train graph: which flagship cell to step")
+    ap.add_argument("--reanalyze", metavar="DIR", default=None,
+                    help="re-join a saved trace dir (rows.json/hlo.txt "
+                         "from a prior run) offline — no device needed")
     args = ap.parse_args()
+
+    if args.reanalyze:
+        with open(args.reanalyze + "/hlo.txt") as f:
+            analyze(args.reanalyze, f.read(), args.iters)
+        return
 
     import jax
     import jax.numpy as jnp
