@@ -29,7 +29,9 @@ def _full_info(hlo_text: str):
         sf = re.search(r'source_file="([^"]*)"', line)
         sl = re.search(r"source_line=(\d+)", line)
         km = re.search(r"= (?:\([^=]*?\)|\S+) ([\w\-]+)\(", line)
-        conv = '"kernel_window_bounds"' in line  # the TPU conv emitter
+        # The TPU conv emitter: every fusion's backend_config carries an
+        # (often empty) kernel_window_bounds list; only convs have entries.
+        conv = '"kernel_window_bounds":["' in line
         info[m.group(1)] = (
             om.group(1) if om else "",
             (sf.group(1).split("/")[-1] + ":" + sl.group(1)) if sf and sl else "",

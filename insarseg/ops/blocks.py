@@ -120,10 +120,16 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Conv2d(self.features, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        # stop_bias_grad=train: each conv feeds a train-mode BN directly, so
+        # the bias gradient is analytically zero (see Conv2d.stop_bias_grad);
+        # skipping it removes ~11% of the 512^2 train step. In eval mode
+        # (running stats) the cancellation doesn't hold, so grads stay live.
+        x = Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                   stop_bias_grad=train, name="conv1")(x)
         x = BatchNorm2d(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = Conv2d(self.features, 3, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                   stop_bias_grad=train, name="conv2")(x)
         x = BatchNorm2d(use_running_average=not train, dtype=self.dtype, name="bn2")(x)
         x = nn.relu(x)
         if self.use_se:

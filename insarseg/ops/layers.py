@@ -77,6 +77,16 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     kernel_init: Optional[Any] = None  # default: torch kaiming_uniform(a=sqrt(5))
+    # Set by blocks whose conv output feeds a *train-mode* BatchNorm directly
+    # (DoubleConv): BN subtracts the per-channel batch mean and its variance
+    # uses E[x^2]-E[x]^2, so a per-channel constant shift cancels EXACTLY and
+    # d(loss)/d(bias) == 0 in exact arithmetic (torch computes it numerically
+    # and gets ~1e-8-scale summation noise; tests/test_layers.py asserts the
+    # analytic zero against autodiff). stop_gradient-ing the bias removes the
+    # full-activation-tensor grad reductions — 24.9 of 215.7 ms/iter on the
+    # exact bf16 b16 512^2 train step, 7.3 of 67.5 ms on the fast cell
+    # (BASELINE.md "Round 5: train-step speed of light").
+    stop_bias_grad: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -112,6 +122,8 @@ class Conv2d(nn.Module):
             bias = self.param(
                 "bias", torch_uniform_init(bound), (self.features,), self.param_dtype
             )
+            if self.stop_bias_grad:
+                bias = lax.stop_gradient(bias)
             y = y + _promote(bias, cdt)
         return y
 

@@ -115,6 +115,17 @@ def make_train_step(
                 rngs={"dropout": rng},
             )
             logits, mutated = out
+            # Materialize logits in their natural (B,H,W,C) layout before
+            # the loss. Without this, XLA's simplifier propagates the fast
+            # cell's depth-to-space reshape INTO the CE/one-hot ops,
+            # emitting 6-D [B,H/2,W/2,2,2,C] tensors on T(2,128) tiling —
+            # 6.3 of a 7.4 ms loss tail, 10% of that cell's train step
+            # (BASELINE.md "Round 5: train-step speed of light"). The
+            # barrier is an identity (bit-exact, grads pass through).
+            # Measured 512^2 bf16: fast b16 216->236.9 t/s (+9.6%), fast
+            # b32 233.4->245.9 (+5.3%); neutral on the exact cell (its
+            # loss tail is 4.0 of 215.7 ms).
+            logits = jax.lax.optimization_barrier(logits)
             loss = cross_entropy_loss(logits, mask, ignore_index)
             return loss, (logits, mutated["batch_stats"])
 

@@ -105,3 +105,74 @@ def test_torch_default_init_distribution():
     assert np.abs(k).max() <= bound
     assert np.abs(k).max() > 0.9 * bound  # actually fills the range
     assert np.abs(np.asarray(params["bias"])).max() <= bound
+
+
+def test_stop_bias_grad_is_the_analytic_zero():
+    """DoubleConv convs feed train-mode BN directly, so the conv-bias
+    gradient is analytically zero: BN subtracts the per-channel batch mean
+    and its variance uses E[x^2]-E[x]^2, so a per-channel constant shift
+    cancels exactly. Conv2d(stop_bias_grad=True) (set by DoubleConv when
+    train=True) makes autodiff return that exact zero instead of paying
+    full-activation-tensor reductions for ~1e-8 summation noise — 24.9 of
+    215.7 ms/iter on the 512^2 exact bf16 train step (BASELINE.md
+    "Round 5: train-step speed of light"). Three claims, each checked:
+    the loss is invariant to a LARGE bias shift; the stopped grads are
+    exactly 0 where the free ones are fp noise; every other grad is
+    bit-identical with and without the stop."""
+    from unittest import mock
+
+    import insarseg.ops.layers as L_
+    from insarseg.models.registry import build
+    from insarseg.train.losses import cross_entropy_loss
+
+    model = build("unet", "channel", num_classes=2)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 1))
+    y = jax.random.randint(jax.random.key(1), (2, 32, 32), 0, 2)
+    v = model.init(jax.random.key(2), x, train=True)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return cross_entropy_loss(out, y, 255)
+
+    # 1) loss invariance under a large per-channel shift of a stopped bias
+    shifted = jax.tree_util.tree_map(jnp.asarray, jax.device_get(v["params"]))
+    shifted["inc"]["conv1"]["bias"] = shifted["inc"]["conv1"]["bias"] + 3.7
+    l0, l1 = float(loss_fn(v["params"])), float(loss_fn(shifted))
+    assert abs(l1 - l0) / abs(l0) < 1e-5
+
+    # 2+3) stopped grads exactly zero; all other grads bit-identical
+    g_stop = jax.grad(loss_fn)(v["params"])
+    with mock.patch.object(L_.lax, "stop_gradient", lambda t: t):
+        g_free = jax.grad(loss_fn)(v["params"])
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_stop),
+        jax.tree_util.tree_leaves_with_path(g_free),
+    ):
+        ps = jax.tree_util.keystr(path)
+        is_dc_bias = ps.endswith("['conv1']['bias']") or ps.endswith(
+            "['conv2']['bias']")
+        if is_dc_bias:
+            assert float(jnp.max(jnp.abs(a))) == 0.0, ps
+            assert float(jnp.max(jnp.abs(b))) < 1e-6, ps  # fp noise, not signal
+        else:
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0, ps
+
+
+def test_stop_bias_grad_off_in_eval_mode():
+    """In eval mode BN uses running stats — no cancellation — so DoubleConv
+    must leave bias grads live (stop_bias_grad follows ``train``)."""
+    from insarseg.ops.blocks import DoubleConv
+
+    m = DoubleConv(8)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    v = m.init(jax.random.key(1), x, train=True)
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                               x, train=False) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert float(jnp.max(jnp.abs(g["conv1"]["bias"]))) > 0.0
