@@ -146,6 +146,8 @@ def make_eval_step(model, num_classes: int, ignore_index: int = 255,
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, image, train=False
         )
+        # Same loss-boundary layout pin as the train step (see loss_fn).
+        logits = jax.lax.optimization_barrier(logits)
         loss = cross_entropy_loss(logits, mask, ignore_index)
         counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
         return {"loss": loss, **counts}
@@ -165,6 +167,8 @@ def make_engine_eval_step(predict: Callable, num_classes: int,
         del params, batch_stats  # baked into the packed engine
         image = _to_float(image, normalize)
         logits = predict(image).astype(jnp.float32)
+        # Same loss-boundary layout pin as the train step (see loss_fn).
+        logits = jax.lax.optimization_barrier(logits)
         loss = cross_entropy_loss(logits, mask, ignore_index)
         counts = M.confusion_counts(logits, mask, num_classes, ignore_index)
         return {"loss": loss, **counts}
