@@ -149,6 +149,15 @@ def main() -> None:
                          "(cell, seed) only")
     args = ap.parse_args()
 
+    # Warm the backend through the transient-tunnel retry BEFORE any cell
+    # runs: a cold axon tunnel can throw UNAVAILABLE at first device touch
+    # (this killed the round-5i D4 job at jax.devices()-time); bench.py
+    # established the pattern.
+    from insarseg.utils.retry import retry_transient
+
+    retry_transient(lambda: len(jax.devices()), what="jax.devices()",
+                    retries=4, sleep_s=15.0, backoff=1.6)
+
     os.makedirs(args.workdir, exist_ok=True)
     # resumable: completed (cell, seed) results persist across tunnel drops
     done_path = os.path.join(args.workdir, "results.jsonl")
@@ -166,7 +175,12 @@ def main() -> None:
             if (c, seed) in done:
                 results.append(done[(c, seed)])
                 continue
-            r = run_cell(c, root, args, args.workdir, seed=seed)
+            # each cell is minutes of work; retry it whole on a transient
+            # tunnel drop (resumable via results.jsonl either way)
+            r = retry_transient(
+                lambda: run_cell(c, root, args, args.workdir, seed=seed),
+                what=f"run_cell({c}, seed={seed})",
+                retries=2, sleep_s=30.0, backoff=2.0)
             with open(done_path, "a") as f:
                 f.write(json.dumps(r) + "\n")
             results.append(r)
